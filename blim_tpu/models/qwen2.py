@@ -1,0 +1,212 @@
+"""Functional Qwen2 decoder for TPU.
+
+Re-design of the reference's forked HF Qwen2
+(reference: videochat_flash/modeling_qwen2_flash.py:84-1546): RMSNorm, RoPE,
+GQA attention, SwiGLU MLP, with three deliberate departures for TPU/XLA:
+
+  * layer parameters are *stacked* along a leading layer axis and the decoder
+    runs as a single `lax.scan` — one compiled layer body instead of 28
+    unrolled ones (faster compiles, identical math);
+  * attention is a Pallas flash kernel on TPU / masked XLA attention elsewhere
+    (kernels/attention.py), with flash-attn-varlen output semantics (masked
+    query rows emit zeros) so the CPN masking behaves exactly like the
+    reference's unpad/repad path (modeling_qwen2_flash.py:528-628);
+  * the LM head is *not* applied to the full sequence. The reference
+    materializes fp32 logits over the whole (B, S, 152k) grid
+    (modeling_qwen2_flash.py:1448-1453); here logits are computed only where a
+    consumer needs them (scoring windows / final position), via `lm_logits`.
+
+The model returns the final hidden states; like the reference's modified
+CausalLM (modeling_qwen2_flash.py:1438-1476) which threads the last hidden
+state out for the TVG head.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from blim_tpu.core.config import Qwen2Config
+from blim_tpu.kernels.attention import multi_head_attention
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def init_params(config: Qwen2Config, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random-init a stacked-layer Qwen2 parameter tree."""
+    c = config
+    L, D, I = c.num_hidden_layers, c.hidden_size, c.intermediate_size
+    H, K, hd = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+    keys = iter(jax.random.split(key, 16))
+
+    def dense(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    params: Params = {
+        "embed_tokens": {"embedding": dense(next(keys), (c.vocab_size, D))},
+        "layers": {
+            "input_layernorm": {"scale": jnp.ones((L, D), dtype)},
+            "post_attention_layernorm": {"scale": jnp.ones((L, D), dtype)},
+            "q_proj": {"kernel": dense(next(keys), (L, D, H * hd)), "bias": jnp.zeros((L, H * hd), dtype)},
+            "k_proj": {"kernel": dense(next(keys), (L, D, K * hd)), "bias": jnp.zeros((L, K * hd), dtype)},
+            "v_proj": {"kernel": dense(next(keys), (L, D, K * hd)), "bias": jnp.zeros((L, K * hd), dtype)},
+            "o_proj": {"kernel": dense(next(keys), (L, H * hd, D))},
+            "gate_proj": {"kernel": dense(next(keys), (L, D, I))},
+            "up_proj": {"kernel": dense(next(keys), (L, D, I))},
+            "down_proj": {"kernel": dense(next(keys), (L, I, D))},
+        },
+        "norm": {"scale": jnp.ones((D,), dtype)},
+    }
+    if c.tie_word_embeddings:
+        params["lm_head"] = {"kernel": None}  # resolved in lm_logits
+    else:
+        params["lm_head"] = {"kernel": dense(next(keys), (D, c.vocab_size))}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm with float32 statistics (reference: modeling_qwen2_flash.py:84-98)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (xf * scale.astype(jnp.float32)).astype(dtype)
+
+
+def rope_cos_sin(position_ids: jax.Array, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for HF-style rotary embeddings, computed in float32.
+
+    position_ids: (B, S) -> cos/sin (B, S, head_dim) where the half-dim
+    frequencies are duplicated (HF layout: [f0..f_{d/2-1}, f0..f_{d/2-1}]).
+    """
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    angles = position_ids.astype(jnp.float32)[..., None] * inv_freq[None, None, :]  # (B,S,d/2)
+    angles = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, S, H, D); cos/sin: (B, S, D). HF rotate_half convention."""
+    c = cos[:, :, None, :].astype(x.dtype)
+    s = sin[:, :, None, :].astype(x.dtype)
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * c + rotated * s
+
+
+def _layer(
+    config: Qwen2Config,
+    lp: Params,
+    hidden: jax.Array,          # (B, S, D)
+    cos: jax.Array,
+    sin: jax.Array,
+    key_mask: Optional[jax.Array],
+    query_mask: Optional[jax.Array],
+    use_pallas: Optional[bool],
+) -> jax.Array:
+    c = config
+    B, S, D = hidden.shape
+    H, K, hd = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+
+    x = rms_norm(hidden, lp["input_layernorm"]["scale"], c.rms_norm_eps)
+    q = (x @ lp["q_proj"]["kernel"] + lp["q_proj"]["bias"]).reshape(B, S, H, hd)
+    k = (x @ lp["k_proj"]["kernel"] + lp["k_proj"]["bias"]).reshape(B, S, K, hd)
+    v = (x @ lp["v_proj"]["kernel"] + lp["v_proj"]["bias"]).reshape(B, S, K, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = multi_head_attention(
+        q, k, v, key_mask=key_mask, query_mask=query_mask, causal=True,
+        scale=hd ** -0.5, use_pallas=use_pallas,
+    )
+    attn = attn.reshape(B, S, H * hd) @ lp["o_proj"]["kernel"]
+    hidden = hidden + attn
+
+    x = rms_norm(hidden, lp["post_attention_layernorm"]["scale"], c.rms_norm_eps)
+    gate = jax.nn.silu(x @ lp["gate_proj"]["kernel"])
+    up = x @ lp["up_proj"]["kernel"]
+    mlp = (gate * up) @ lp["down_proj"]["kernel"]
+    return hidden + mlp
+
+
+# ---------------------------------------------------------------------------
+# Public forward surface
+# ---------------------------------------------------------------------------
+
+def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
+    return jnp.take(params["embed_tokens"]["embedding"], input_ids, axis=0)
+
+
+def forward_hidden(
+    params: Params,
+    config: Qwen2Config,
+    inputs_embeds: jax.Array,               # (B, S, D)
+    attention_mask: Optional[jax.Array] = None,   # (B, S) 1 = real token
+    position_ids: Optional[jax.Array] = None,     # (B, S)
+    *,
+    remat: bool = False,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Run the decoder stack; returns final (post-norm) hidden states (B,S,D).
+
+    `attention_mask` plays the role of the reference's 2-D mask fed to
+    flash_attn_varlen: a position with mask=0 is invisible as a key AND emits
+    a zero attention output as a query (then keeps evolving via residual+MLP),
+    matching the unpad/repad semantics the CPN prior pass depends on.
+    """
+    B, S, _ = inputs_embeds.shape
+    if position_ids is None:
+        # Plain arange, exactly like the reference when position_ids is None
+        # (modeling_qwen2_flash.py:998-1003). Correct for right padding
+        # trivially; correct for left padding and CPN interior holes because
+        # RoPE + causal attention is translation-invariant over the contiguous
+        # real region (a constant position offset cancels in q·k).
+        position_ids = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+    cos, sin = rope_cos_sin(position_ids, config.head_dim, config.rope_theta)
+
+    layer_fn = functools.partial(_layer, config)
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+
+    def scan_body(hidden, lp):
+        out = layer_fn(lp, hidden, cos, sin, attention_mask, attention_mask, use_pallas)
+        return out, None
+
+    hidden, _ = jax.lax.scan(scan_body, inputs_embeds, params["layers"])
+    return rms_norm(hidden, params["norm"]["scale"], config.rms_norm_eps)
+
+
+def lm_logits(params: Params, hidden: jax.Array, config: Qwen2Config) -> jax.Array:
+    """LM-head logits in float32 (reference casts logits to fp32,
+    modeling_qwen2_flash.py:1453). Apply to scoring windows, not full sequences."""
+    kernel = params["lm_head"]["kernel"]
+    if kernel is None:  # tied embeddings
+        kernel = params["embed_tokens"]["embedding"].T
+    return jnp.dot(hidden, kernel, preferred_element_type=jnp.float32)
+
+
+def forward_logits(
+    params: Params,
+    config: Qwen2Config,
+    input_ids: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    position_ids: Optional[jax.Array] = None,
+    **kw,
+) -> jax.Array:
+    """Token ids -> full-sequence fp32 logits. For tests/small inputs only."""
+    hidden = forward_hidden(
+        params, config, embed_tokens(params, input_ids), attention_mask, position_ids, **kw
+    )
+    return lm_logits(params, hidden, config)
