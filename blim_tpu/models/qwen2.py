@@ -116,22 +116,29 @@ def _layer(
     key_mask: Optional[jax.Array],
     query_mask: Optional[jax.Array],
     use_pallas: Optional[bool],
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
 ) -> jax.Array:
+    from blim_tpu.adapters.lora import apply_dense
+
     c = config
     B, S, D = hidden.shape
     H, K, hd = c.num_attention_heads, c.num_key_value_heads, c.head_dim
 
+    def lo(name):
+        return None if lora is None else lora.get(name)
+
     x = rms_norm(hidden, lp["input_layernorm"]["scale"], c.rms_norm_eps)
-    q = (x @ lp["q_proj"]["kernel"] + lp["q_proj"]["bias"]).reshape(B, S, H, hd)
-    k = (x @ lp["k_proj"]["kernel"] + lp["k_proj"]["bias"]).reshape(B, S, K, hd)
-    v = (x @ lp["v_proj"]["kernel"] + lp["v_proj"]["bias"]).reshape(B, S, K, hd)
+    q = apply_dense(lp["q_proj"], x, lo("q_proj"), lora_scale).reshape(B, S, H, hd)
+    k = apply_dense(lp["k_proj"], x, lo("k_proj"), lora_scale).reshape(B, S, K, hd)
+    v = apply_dense(lp["v_proj"], x, lo("v_proj"), lora_scale).reshape(B, S, K, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     attn = multi_head_attention(
         q, k, v, key_mask=key_mask, query_mask=query_mask, causal=True,
         scale=hd ** -0.5, use_pallas=use_pallas,
     )
-    attn = attn.reshape(B, S, H * hd) @ lp["o_proj"]["kernel"]
+    attn = apply_dense(lp["o_proj"], attn.reshape(B, S, H * hd), lo("o_proj"), lora_scale)
     hidden = hidden + attn
 
     x = rms_norm(hidden, lp["post_attention_layernorm"]["scale"], c.rms_norm_eps)
@@ -158,6 +165,8 @@ def forward_hidden(
     *,
     remat: bool = False,
     use_pallas: Optional[bool] = None,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
 ) -> jax.Array:
     """Run the decoder stack; returns final (post-norm) hidden states (B,S,D).
 
@@ -180,21 +189,42 @@ def forward_hidden(
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
 
-    def scan_body(hidden, lp):
-        out = layer_fn(lp, hidden, cos, sin, attention_mask, attention_mask, use_pallas)
-        return out, None
+    if lora is None:
+        def scan_body(hidden, lp):
+            out = layer_fn(lp, hidden, cos, sin, attention_mask, attention_mask, use_pallas)
+            return out, None
 
-    hidden, _ = jax.lax.scan(scan_body, inputs_embeds, params["layers"])
+        hidden, _ = jax.lax.scan(scan_body, inputs_embeds, params["layers"])
+    else:
+        def scan_body_lora(hidden, xs):
+            lp, ll = xs
+            out = layer_fn(lp, hidden, cos, sin, attention_mask, attention_mask,
+                           use_pallas, ll, lora_scale)
+            return out, None
+
+        hidden, _ = jax.lax.scan(
+            scan_body_lora, inputs_embeds, (params["layers"], lora["layers"])
+        )
     return rms_norm(hidden, params["norm"]["scale"], config.rms_norm_eps)
 
 
-def lm_logits(params: Params, hidden: jax.Array, config: Qwen2Config) -> jax.Array:
+def lm_logits(
+    params: Params,
+    hidden: jax.Array,
+    config: Qwen2Config,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+) -> jax.Array:
     """LM-head logits in float32 (reference casts logits to fp32,
     modeling_qwen2_flash.py:1453). Apply to scoring windows, not full sequences."""
     kernel = params["lm_head"]["kernel"]
     if kernel is None:  # tied embeddings
         kernel = params["embed_tokens"]["embedding"].T
-    return jnp.dot(hidden, kernel, preferred_element_type=jnp.float32)
+    logits = jnp.dot(hidden, kernel, preferred_element_type=jnp.float32)
+    if lora is not None and "lm_head" in lora:
+        lh = lora["lm_head"]
+        logits = logits + jnp.dot(hidden @ lh["a"], lh["b"], preferred_element_type=jnp.float32) * lora_scale
+    return logits
 
 
 def forward_logits(

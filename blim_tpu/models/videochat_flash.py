@@ -1,0 +1,198 @@
+"""VideoChat-Flash multimodal model: LLM + projector + visual_head.
+
+Re-design of the reference's `VideoChatFlashQwenForCausalLM`
+(reference: modeling_videochat_flash.py:561-745) around static TPU layouts:
+
+  * the embedding splice (`prepare_inputs_labels_for_multimodal`,
+    reference :185-515) becomes a `dynamic_update_slice` at a *static*
+    offset — the VTG/TVG layouts (data/prompts.py) guarantee the video block
+    position is shape-constant;
+  * the CPN attention-mask pair is precomputed by the layouts;
+  * `visual_head` is a bias-free Linear(hidden -> mm_hidden) kept in fp32
+    (reference: :584, main.py:108-111);
+  * scoring forwards return per-row likelihoods directly (the reference
+    materializes full-sequence logits and computes CE outside the model).
+
+Batch dict contract (produced by engine/rerank.py or data collators):
+  input_ids       (B, T) int32   — layout token ids (video slots arbitrary)
+  attention_mask  (B, T) int32   — 1 = real token
+  cpn_mask        (B, T) int32   — CPN prior visibility mask
+  video           (B, clips, tokens_per_clip, mm_hidden) — cached features
+  window_labels   (B, W) int32   — VTG only: labels for the static window
+  video_label     (B,) int32     — TVG only: index of the true video
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from blim_tpu.core.config import ModelConfig
+from blim_tpu.models import projector as projector_lib
+from blim_tpu.models import qwen2
+from blim_tpu.scoring import criteria
+
+Params = Dict[str, Any]
+
+
+def init_params(config: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    llm = qwen2.init_params(config.llm, k1, dtype)
+    proj = projector_lib.init_params(k2, config.mm_hidden_size, config.llm.hidden_size, dtype)
+    vh = (
+        jax.random.normal(k3, (config.llm.hidden_size, config.mm_hidden_size), jnp.float32) * 0.02
+    )
+    return {"llm": llm, "projector": proj, "visual_head": {"kernel": vh}}
+
+
+def _lora_parts(lora: Optional[Params]):
+    if lora is None:
+        return None, None
+    return lora.get("llm"), lora.get("projector")
+
+
+def splice_video(
+    token_embeds: jax.Array,   # (B, T, D)
+    video_embeds: jax.Array,   # (B, Nv, D)
+    video_start: int,
+) -> jax.Array:
+    """Overwrite the layout's video slot with projected video embeddings
+    (the static-shape equivalent of the reference's per-sample concat splice,
+    modeling_videochat_flash.py:395-444)."""
+    return jax.lax.dynamic_update_slice(
+        token_embeds, video_embeds.astype(token_embeds.dtype), (0, video_start, 0)
+    )
+
+
+def vtg_hidden(
+    params: Params,
+    config: ModelConfig,
+    input_ids: jax.Array,
+    mask: jax.Array,
+    video: jax.Array,
+    video_start: int,
+    *,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    lora_dropout: float = 0.0,
+    remat: bool = False,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Embed + splice + decode for the VTG direction; returns (B, T, D)."""
+    llm_lora, proj_lora = _lora_parts(lora)
+    vid = projector_lib.project_vtg(
+        params["projector"], video, lora=proj_lora,
+        dropout_rng=dropout_rng, lora_scale=lora_scale, lora_dropout=lora_dropout,
+    )
+    emb = qwen2.embed_tokens(params["llm"], input_ids)
+    emb = splice_video(emb, vid, video_start)
+    return qwen2.forward_hidden(
+        params["llm"], config.llm, emb, mask,
+        lora=llm_lora, lora_scale=lora_scale, remat=remat, use_pallas=use_pallas,
+    )
+
+
+def tvg_hidden(
+    params: Params,
+    config: ModelConfig,
+    input_ids: jax.Array,
+    mask: jax.Array,
+    video: jax.Array,
+    video_start: int,
+    *,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    lora_dropout: float = 0.0,
+    remat: bool = False,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Embed + splice + decode for the TVG direction (1 token per clip)."""
+    llm_lora, proj_lora = _lora_parts(lora)
+    vid = projector_lib.project_tvg(
+        params["projector"], video, lora=proj_lora,
+        dropout_rng=dropout_rng, lora_scale=lora_scale, lora_dropout=lora_dropout,
+    )
+    emb = qwen2.embed_tokens(params["llm"], input_ids)
+    emb = splice_video(emb, vid, video_start)
+    return qwen2.forward_hidden(
+        params["llm"], config.llm, emb, mask,
+        lora=llm_lora, lora_scale=lora_scale, remat=remat, use_pallas=use_pallas,
+    )
+
+
+def vtg_window_logits(
+    params: Params,
+    config: ModelConfig,
+    hidden: jax.Array,
+    window_start: int,
+    window_len: int,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+) -> jax.Array:
+    """Slice the static label window and apply the LM head there only."""
+    win = jax.lax.dynamic_slice_in_dim(hidden, window_start, window_len, axis=1)
+    llm_lora, _ = _lora_parts(lora)
+    return qwen2.lm_logits(params["llm"], win, config.llm, lora=llm_lora, lora_scale=lora_scale)
+
+
+def score_vtg(
+    params: Params,
+    config: ModelConfig,
+    batch: Dict[str, jax.Array],
+    video_start: int,
+    window_start: int,
+    window_len: int,
+    *,
+    cpn: bool = False,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """P(caption | video) per row — or the CPN prior P(caption) with cpn=True
+    (video block masked out of attention, reference:
+    modeling_videochat_flash.py:433, retrieval_utils.py:91-96)."""
+    mask = batch["cpn_mask"] if cpn else batch["attention_mask"]
+    hidden = vtg_hidden(
+        params, config, batch["input_ids"], mask, batch["video"], video_start,
+        lora=lora, lora_scale=lora_scale, use_pallas=use_pallas,
+    )
+    logits = vtg_window_logits(params, config, hidden, window_start, window_len, lora, lora_scale)
+    return criteria.vtg_likelihood(logits, batch["window_labels"])
+
+
+def score_tvg(
+    params: Params,
+    config: ModelConfig,
+    batch: Dict[str, jax.Array],
+    video_vocab: jax.Array,     # (V, clips, mm_hidden)
+    video_start: int,
+    gather_start: int,
+    *,
+    cpn: bool = False,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """P(video | caption) per row via the visual_head classifier over the
+    video vocabulary — or the CPN prior P(video) with cpn=True (caption
+    masked down to the instruction prefix, reference:
+    modeling_videochat_flash.py:414-417, retrieval_utils.py:98-108)."""
+    mask = batch["cpn_mask"] if cpn else batch["attention_mask"]
+    hidden = tvg_hidden(
+        params, config, batch["input_ids"], mask, batch["video"], video_start,
+        lora=lora, lora_scale=lora_scale, use_pallas=use_pallas,
+    )
+    clip_hidden = jax.lax.dynamic_slice_in_dim(hidden, gather_start, config.num_clips, axis=1)
+    logits = criteria.tvg_clip_logits(clip_hidden, params["visual_head"]["kernel"], video_vocab)
+    return criteria.tvg_likelihood(logits, batch["video_label"])
+
+
+def make_video_vocab(features: jax.Array) -> jax.Array:
+    """(V, clips, tokens_per_clip, mm) cached features -> (V, clips, mm) vocab
+    by mean-pooling the token axis (reference: base_dataset.py:33-37)."""
+    return features.mean(axis=-2)

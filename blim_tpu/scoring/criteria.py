@@ -1,0 +1,104 @@
+"""Likelihood criteria (VTG / TVG) as pure jittable functions.
+
+Parity surface:
+  * VTG eval criterion  — negated mean per-token shifted CE over labeled
+    tokens (reference: retrieval_utils.py:18-33).
+  * TVG eval criterion  — negated mean per-clip CE of the correct video under
+    the video-vocabulary classifier (reference: retrieval_utils.py:35-43,
+    99-107).
+  * training losses     — batch-mean variants (reference:
+    training_utils.py:17-37,69-79).
+
+TPU redesign: the reference computes full-sequence fp32 logits
+(B, S, 152k) and slices; here CE is evaluated only on the static label
+window (VTG) or the clip gather positions (TVG) — ~50-100x less LM-head
+compute and HBM traffic per scored pair.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from blim_tpu.core.constants import IGNORE_INDEX
+
+
+def token_ce_from_logits(logits: jax.Array, labels: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-token CE (float32) and validity mask. logits: (..., W, V); labels (..., W).
+
+    Labels equal to IGNORE_INDEX produce ce=0 / valid=0, like torch
+    CrossEntropyLoss(ignore_index=-100).
+    """
+    logits = logits.astype(jnp.float32)
+    valid = labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, labels, 0)
+    logz = jax.scipy.special.logsumexp(logits, axis=-1)
+    target = jnp.take_along_axis(logits, safe_labels[..., None], axis=-1)[..., 0]
+    ce = jnp.where(valid, logz - target, 0.0)
+    return ce, valid
+
+
+def vtg_likelihood(window_logits: jax.Array, window_labels: jax.Array) -> jax.Array:
+    """Per-row score = -(sum CE / #labeled) over the label window.
+
+    window_logits[b, i] are the logits of hidden state at position
+    (window_start + i), predicting window_labels[b, i] = token at
+    (window_start + i + 1) — i.e. the shift is already baked into the window.
+    Matches VTGCriterion eval semantics (reference: retrieval_utils.py:23-33);
+    the denominator counts labeled tokens (the reference counts nonzero CE
+    terms, identical unless a token has exactly zero loss).
+    """
+    ce, valid = token_ce_from_logits(window_logits, window_labels)
+    total = ce.sum(axis=-1)
+    count = jnp.maximum(valid.sum(axis=-1), 1)
+    return -(total / count)
+
+
+def vtg_train_loss(window_logits: jax.Array, window_labels: jax.Array) -> jax.Array:
+    """Scalar batch-mean CE over all labeled tokens (reference:
+    training_utils.py:17-37 with reduction='mean')."""
+    ce, valid = token_ce_from_logits(window_logits, window_labels)
+    return ce.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def tvg_clip_logits(
+    clip_hidden: jax.Array,     # (B, num_clips, D) hidden states at gather positions
+    visual_head_kernel: jax.Array,  # (D, mm_hidden) — kept fp32 (reference: main.py:108-111)
+    video_vocab: jax.Array,     # (V, num_clips, mm_hidden) mean-pooled cached features
+) -> jax.Array:
+    """Per-clip classification logits over the video vocabulary.
+
+    logits[b, c, v] = <visual_head(h[b,c]), vocab[v,c]> / sqrt(mm_hidden)
+    (reference: training_utils.py:76-79 — bmm over the clip axis).
+    """
+    proj = jnp.dot(clip_hidden.astype(jnp.float32), visual_head_kernel.astype(jnp.float32))
+    scale = video_vocab.shape[-1] ** -0.5
+    return jnp.einsum("bcm,vcm->bcv", proj, video_vocab.astype(jnp.float32)) * scale
+
+
+def tvg_likelihood(clip_logits: jax.Array, video_label: jax.Array) -> jax.Array:
+    """Per-row score = -mean over clips of CE(correct video).
+    clip_logits: (B, C, V); video_label: (B,) int. Reference:
+    retrieval_utils.py:35-43 (labels repeated per clip)."""
+    labels = jnp.broadcast_to(video_label[:, None], clip_logits.shape[:2])
+    ce, _ = token_ce_from_logits(clip_logits, labels)
+    return -ce.mean(axis=-1)
+
+
+def tvg_train_loss(clip_logits: jax.Array, video_label: jax.Array) -> jax.Array:
+    """Scalar batch-mean CE (reference: training_utils.py:79)."""
+    labels = jnp.broadcast_to(video_label[:, None], clip_logits.shape[:2])
+    ce, _ = token_ce_from_logits(clip_logits, labels)
+    return ce.mean()
+
+
+def chunked_window_logits(
+    hidden_window: jax.Array,   # (B, W, D)
+    lm_kernel: jax.Array,       # (D, V)
+    chunk: int = 32768,
+) -> jax.Array:
+    """LM-head applied to a scoring window. Kept simple (one dot) — XLA tiles
+    the (W, V) product; `chunk` reserved for a Pallas fused-CE kernel."""
+    return jnp.dot(hidden_window, lm_kernel, preferred_element_type=jnp.float32)
