@@ -1,0 +1,274 @@
+"""Sharded top-k rerank engine.
+
+The reference reranks per query with many small forwards in a Python loop
+(reference: retrieval_utils.py:48-153 — per query row, per micro-batch,
+2 passes for CPN) and merges rank-sharded score matrices with
+all_reduce(SUM) over -100-initialized tensors (reference:
+retrieval_utils.py:213-262).
+
+TPU redesign:
+  * the (query x topk) grid is flattened to one pair list and processed in
+    fixed-size device batches — every forward is one large static-shape
+    batch, not k small ones;
+  * caption token banks and video features are uploaded to device HBM once;
+    each step transfers only (B,) index vectors, gathers on device;
+  * the pair axis is sharded over the mesh `data` axis (the XLA equivalent of
+    the reference's rank row-sharding); results come back replicated via the
+    output sharding, so no sentinel-offset all_reduce trick is needed —
+    scores are scattered into the matrix on host by pair index;
+  * likelihood and CPN prior are computed inside the same jitted step
+    (the reference runs two separate eval sweeps).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from blim_tpu.core.config import ModelConfig
+from blim_tpu.core.mesh import DATA_AXIS
+from blim_tpu.data.prompts import TVGLayout, VTGLayout
+from blim_tpu.models import videochat_flash as vcf
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass
+class CaptionBank:
+    """Stacked fixed-shape encodings for all captions of a split."""
+
+    input_ids: np.ndarray        # (N, T)
+    attention_mask: np.ndarray   # (N, T)
+    cpn_mask: np.ndarray         # (N, T)
+    window_labels: Optional[np.ndarray] = None  # (N, W) — VTG only
+
+    @classmethod
+    def build_vtg(cls, captions, tokenizer, dataset: str, layout: VTGLayout) -> "CaptionBank":
+        encs = [layout.encode_caption(c, tokenizer, dataset) for c in captions]
+        ws, wl = layout.label_window
+        labels = np.stack(
+            [e["labels"][layout.caption_start : layout.caption_start + wl] for e in encs]
+        )
+        return cls(
+            input_ids=np.stack([e["input_ids"] for e in encs]),
+            attention_mask=np.stack([e["attention_mask"] for e in encs]),
+            cpn_mask=np.stack([e["cpn_mask"] for e in encs]),
+            window_labels=labels,
+        )
+
+    @classmethod
+    def build_tvg(cls, captions, tokenizer, layout: TVGLayout) -> "CaptionBank":
+        encs = [layout.encode_caption(c, tokenizer) for c in captions]
+        return cls(
+            input_ids=np.stack([e["input_ids"] for e in encs]),
+            attention_mask=np.stack([e["attention_mask"] for e in encs]),
+            cpn_mask=np.stack([e["cpn_mask"] for e in encs]),
+        )
+
+
+def topk_pairs(sims: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(rows, cols) of the per-row top-k of a similarity matrix.
+
+    Matches torch.topk ordering semantics (descending by score); equal scores
+    resolve by ascending index, which only matters for exact float ties.
+    """
+    n, m = sims.shape
+    k = min(k, m)
+    # argpartition then sort the slice — O(m + k log k) per row
+    part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    part_scores = np.take_along_axis(sims, part, axis=1)
+    order = np.argsort(-part_scores, kind="stable", axis=1)
+    cols = np.take_along_axis(part, order, axis=1)
+    rows = np.repeat(np.arange(n), k)
+    return rows, cols.reshape(-1)
+
+
+class RerankEngine:
+    """Scores (caption, video) pairs with both directions' likelihoods."""
+
+    def __init__(
+        self,
+        params: Params,
+        config: ModelConfig,
+        vtg_layout: VTGLayout,
+        tvg_layout: Optional[TVGLayout],
+        mesh: Mesh,
+        batch_size: int = 16,
+        lora: Optional[Params] = None,
+        lora_scale: float = 0.0,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.config = config
+        self.vtg_layout = vtg_layout
+        self.tvg_layout = tvg_layout
+        self.mesh = mesh
+        self.n_data = mesh.shape[DATA_AXIS]
+        self.batch_size = batch_size * self.n_data  # global batch
+        self.lora = lora
+        self.lora_scale = lora_scale
+        self.use_pallas = use_pallas
+
+        self._replicated = NamedSharding(mesh, P())
+        self._pair_sharded = NamedSharding(mesh, P(DATA_AXIS))
+        self.params = jax.device_put(params, self._replicated)
+        if lora is not None:
+            self.lora = jax.device_put(lora, self._replicated)
+
+        ws, wl = vtg_layout.label_window
+        self._vtg_step = jax.jit(
+            functools.partial(
+                self._vtg_step_impl,
+                video_start=vtg_layout.video_start,
+                window_start=ws,
+                window_len=wl,
+            ),
+            static_argnames=("with_prior",),
+        )
+        if tvg_layout is not None:
+            self._tvg_step = jax.jit(
+                functools.partial(
+                    self._tvg_step_impl,
+                    video_start=tvg_layout.video_start,
+                    gather_start=int(tvg_layout.gather_positions[0]),
+                ),
+                static_argnames=("with_prior",),
+            )
+
+    # -- device-resident banks ------------------------------------------------
+
+    def upload(self, bank: CaptionBank, features: np.ndarray) -> Dict[str, jax.Array]:
+        """Put a caption bank + the video feature bank into (replicated) HBM."""
+        dev = {
+            "ids": jax.device_put(jnp.asarray(bank.input_ids), self._replicated),
+            "attn": jax.device_put(jnp.asarray(bank.attention_mask), self._replicated),
+            "cpn": jax.device_put(jnp.asarray(bank.cpn_mask), self._replicated),
+            "feats": jax.device_put(jnp.asarray(features), self._replicated),
+        }
+        if bank.window_labels is not None:
+            dev["labels"] = jax.device_put(jnp.asarray(bank.window_labels), self._replicated)
+        return dev
+
+    # -- jitted steps ----------------------------------------------------------
+
+    def _vtg_step_impl(
+        self, params, lora, banks, cap_idx, vid_idx,
+        *, with_prior: bool, video_start: int, window_start: int, window_len: int,
+    ):
+        batch = {
+            "input_ids": jnp.take(banks["ids"], cap_idx, axis=0),
+            "attention_mask": jnp.take(banks["attn"], cap_idx, axis=0),
+            "cpn_mask": jnp.take(banks["cpn"], cap_idx, axis=0),
+            "window_labels": jnp.take(banks["labels"], cap_idx, axis=0),
+            "video": jnp.take(banks["feats"], vid_idx, axis=0),
+        }
+        score = vcf.score_vtg(
+            params, self.config, batch, video_start, window_start, window_len,
+            lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+        )
+        if not with_prior:
+            return score, score
+        prior = vcf.score_vtg(
+            params, self.config, batch, video_start, window_start, window_len,
+            cpn=True, lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+        )
+        return score, prior
+
+    def _tvg_step_impl(
+        self, params, lora, banks, video_vocab, cap_idx, vid_idx,
+        *, with_prior: bool, video_start: int, gather_start: int,
+    ):
+        batch = {
+            "input_ids": jnp.take(banks["ids"], cap_idx, axis=0),
+            "attention_mask": jnp.take(banks["attn"], cap_idx, axis=0),
+            "cpn_mask": jnp.take(banks["cpn"], cap_idx, axis=0),
+            "video": jnp.take(banks["feats"], vid_idx, axis=0),
+            "video_label": vid_idx,
+        }
+        score = vcf.score_tvg(
+            params, self.config, batch, video_vocab, video_start, gather_start,
+            lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+        )
+        if not with_prior:
+            return score, score
+        prior = vcf.score_tvg(
+            params, self.config, batch, video_vocab, video_start, gather_start,
+            cpn=True, lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+        )
+        return score, prior
+
+    # -- pair-grid driver -------------------------------------------------------
+
+    def _run_pairs(
+        self, step_fn, n_pairs, cap_idx, vid_idx, step_args, with_prior: bool
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batch the flat pair list through a jitted step; returns flat scores."""
+        B = self.batch_size
+        padded = -(-n_pairs // B) * B
+        pad = padded - n_pairs
+        cap_idx = np.concatenate([cap_idx, np.zeros(pad, cap_idx.dtype)])
+        vid_idx = np.concatenate([vid_idx, np.zeros(pad, vid_idx.dtype)])
+        scores = np.empty(padded, np.float32)
+        priors = np.empty(padded, np.float32)
+        for s in range(0, padded, B):
+            ci = jax.device_put(jnp.asarray(cap_idx[s : s + B]), self._pair_sharded)
+            vi = jax.device_put(jnp.asarray(vid_idx[s : s + B]), self._pair_sharded)
+            sc, pr = step_fn(*step_args, ci, vi, with_prior=with_prior)
+            scores[s : s + B] = np.asarray(sc, np.float32)
+            priors[s : s + B] = np.asarray(pr, np.float32)
+        return scores[:n_pairs], priors[:n_pairs]
+
+    def score_grid_vtg(
+        self,
+        banks: Dict[str, jax.Array],
+        rows: np.ndarray,            # pair row index into the OUTPUT matrix
+        cols: np.ndarray,            # pair col index into the OUTPUT matrix
+        cap_idx: np.ndarray,
+        vid_idx: np.ndarray,
+        out_shape: Tuple[int, int],
+        with_prior: bool,
+        fill: float = -100.0,
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Score pairs and scatter into a (fill)-initialized matrix — the
+        reference fills -100 and relies on it surviving all_reduce
+        (retrieval_utils.py:219,254); here the scatter is explicit."""
+        scores, priors = self._run_pairs(
+            self._vtg_step, len(rows), cap_idx, vid_idx,
+            (self.params, self.lora, banks), with_prior,
+        )
+        mat = np.full(out_shape, fill, np.float32)
+        mat[rows, cols] = scores
+        if not with_prior:
+            return mat, None
+        pmat = np.full(out_shape, fill, np.float32)
+        pmat[rows, cols] = priors
+        return mat, pmat
+
+    def score_grid_tvg(
+        self,
+        banks: Dict[str, jax.Array],
+        video_vocab: jax.Array,
+        rows: np.ndarray,
+        cols: np.ndarray,
+        cap_idx: np.ndarray,
+        vid_idx: np.ndarray,
+        out_shape: Tuple[int, int],
+        with_prior: bool,
+        fill: float = -100.0,
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        scores, priors = self._run_pairs(
+            self._tvg_step, len(rows), cap_idx, vid_idx,
+            (self.params, self.lora, banks, video_vocab), with_prior,
+        )
+        mat = np.full(out_shape, fill, np.float32)
+        mat[rows, cols] = scores
+        if not with_prior:
+            return mat, None
+        pmat = np.full(out_shape, fill, np.float32)
+        pmat[rows, cols] = priors
+        return mat, pmat

@@ -1,0 +1,195 @@
+"""Pallas TPU flash attention (causal + masked, GQA).
+
+TPU-native replacement for the reference's FlashAttention-2 CUDA kernels
+(reference: modeling_qwen2_flash.py:52-53,528-628 `flash_attn_varlen_func`;
+vision_tower_builder.py:26,109 `flash_attn_qkvpacked_func`):
+
+  * online-softmax over KV blocks (running max/sum), fp32 accumulators;
+  * GQA: query heads map onto their KV group via the BlockSpec index map —
+    no repeat_kv materialization;
+  * padding/CPN masks via a per-token key-visibility vector (the TPU
+    equivalent of varlen's unpad: masked keys contribute -inf logits) and
+    query-output zeroing (varlen re-pads masked queries' outputs as zeros);
+  * causal blocks above the diagonal are skipped entirely (the grid loop
+    upper bound depends on the q block index);
+  * non-causal mode covers the ViT's packed-QKV attention.
+
+Backward: custom VJP that recomputes gradients through the (identical-math)
+XLA attention — exact, and the flash forward still accelerates the ~2x-
+more-frequent inference/scoring path. A fused Pallas backward is a later
+optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(
+    q_ref,        # (blk_q, D)
+    k_ref,        # (S, D)
+    v_ref,        # (S, D)
+    kmask_ref,    # (1, S) int32
+    qmask_ref,    # (1, blk_q) int32
+    o_ref,        # (blk_q, D)
+    *,
+    blk_q: int,
+    blk_k: int,
+    seq_len: int,
+    causal: bool,
+    scale: float,
+):
+    qi = pl.program_id(2)
+    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
+    d = q.shape[-1]
+
+    if causal:
+        # process kv blocks only up to the diagonal of this q block
+        num_kv = (qi * blk_q + blk_q + blk_k - 1) // blk_k
+    else:
+        num_kv = seq_len // blk_k
+
+    q_pos = qi * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
+
+    def body(ki, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, 0, pl.ds(ki * blk_k, blk_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(ki * blk_k, blk_k), :]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (blk_q, blk_k)
+
+        # reshape int32 before comparing: Mosaic can't minor-expand i1 vectors
+        km = kmask_ref[0, 0, pl.ds(ki * blk_k, blk_k)].reshape(1, blk_k)
+        visible = km > 0
+        if causal:
+            k_pos = ki * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
+            visible = jnp.logical_and(visible, q_pos >= k_pos)
+        s = jnp.where(visible, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((blk_q, d), jnp.float32)
+    m0 = jnp.full((blk_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((blk_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc, m0, l0))
+
+    out = acc / jnp.maximum(l, 1e-30)
+    qm = qmask_ref[0, 0, :].reshape(blk_q, 1).astype(jnp.float32)
+    o_ref[0, 0, :, :] = (out * qm).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+)
+def _flash_attention(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k):
+    return _flash_forward(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k)
+
+
+def _flash_forward(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k):
+    b, s, hq, d = q.shape
+    hkv = k.shape[2]
+    group = hq // hkv
+
+    qt = q.transpose(0, 2, 1, 3)              # (B, Hq, S, D)
+    kt = k.transpose(0, 2, 1, 3)              # (B, Hkv, S, D)
+    vt = v.transpose(0, 2, 1, 3)
+    nq = s // blk_q
+
+    grid = (b, hq, nq)
+    kernel = functools.partial(
+        _attn_kernel, blk_q=blk_q, blk_k=blk_k, seq_len=s, causal=causal, scale=scale
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi // group, 0, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi // group, 0, 0)),
+            pl.BlockSpec((1, 1, s), lambda bi, hi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, blk_q), lambda bi, hi, qi: (bi, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
+    )(qt, kt, vt, key_mask[:, None, :], query_mask[:, None, :])
+    return out.transpose(0, 2, 1, 3)
+
+
+def _xla_reference(q, k, v, key_mask, query_mask, causal, scale):
+    from blim_tpu.kernels.attention import _xla_attention
+
+    return _xla_attention(q, k, v, key_mask, query_mask, causal, scale)
+
+
+def _fwd(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k):
+    out = _flash_forward(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k)
+    return out, (q, k, v, key_mask, query_mask)
+
+
+def _bwd(causal, scale, blk_q, blk_k, res, g):
+    q, k, v, key_mask, query_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_reference(q_, k_, v_, key_mask, query_mask, causal, scale),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+_flash_attention.defvjp(_fwd, _bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    key_mask: Optional[jax.Array] = None,
+    query_mask: Optional[jax.Array] = None,
+    causal: bool = True,
+    scale: Optional[float] = None,
+    blk_q: int = 128,
+    blk_k: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """q (B,S,Hq,D); k,v (B,S,Hkv,D); masks (B,S) -> (B,S,Hq,D).
+
+    S must be a multiple of blk_k (the static layouts align to 64/128;
+    blocks shrink automatically for short sequences)."""
+    b, s, hq, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    blk_q = min(blk_q, s)
+    blk_k = min(blk_k, s)
+    while s % blk_q:
+        blk_q //= 2
+    while s % blk_k:
+        blk_k //= 2
+    if key_mask is None:
+        key_mask = jnp.ones((b, s), jnp.int32)
+    if query_mask is None:
+        query_mask = jnp.ones((b, s), jnp.int32)
+    key_mask = key_mask.astype(jnp.int32)
+    query_mask = query_mask.astype(jnp.int32)
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            return _flash_attention(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k)
+    return _flash_attention(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k)

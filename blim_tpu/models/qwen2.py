@@ -48,7 +48,9 @@ def init_params(config: Qwen2Config, key: jax.Array, dtype=jnp.float32) -> Param
     keys = iter(jax.random.split(key, 16))
 
     def dense(k, shape, scale=0.02):
-        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+        # generate directly at the target dtype: a 7B init must not create
+        # fp32 transients (one stacked MLP tensor alone would be 7.6 GB)
+        return jax.random.normal(k, shape, dtype) * jnp.asarray(scale, dtype)
 
     params: Params = {
         "embed_tokens": {"embedding": dense(next(keys), (c.vocab_size, D))},
