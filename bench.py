@@ -1,16 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark: MSRVTT-style zero-shot rerank throughput (queries/sec/chip).
+"""Benchmark: MSRVTT zero-shot rerank throughput (queries/sec/chip).
 
-North-star (BASELINE.md): 1k queries x topk-16 P(t|v) rerank with the 7B
-model in <= 5 min on a v5e-8 => 3.333 q/s on 8 chips => 0.4167 q/s/chip.
-This bench runs the t2v VTG grid (P(query caption | candidate video)) with
-synthetic captions/features and random-initialized 7B bf16 weights on all
-visible devices, and reports queries/sec/chip.
+North-star (BASELINE.md): MSRVTT-1k zero-shot rerank (1k queries x topk-16,
+P(t|v) only) with the 7B model in <= 5 min on a v5e-8 => 3.333 q/s on 8 chips
+=> 0.4167 q/s/chip. This bench runs the COMPLETE zero-shot evaluation flow —
+v2t candidate-likelihood grid, v2t CPN prior, t2v query-likelihood grid
+(reference: retrieval_utils.py:206-262 gated zero-shot) — with synthetic
+captions/features and random-initialized 7B bf16 weights, and reports
+queries/sec/chip over the whole flow.
+
+Default path uses prefix-KV sharing (one video-prefix forward per group of
+topk candidates; CPN prior once per caption); --naive scores every pair with
+a full-sequence forward like the reference does.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Note: identical repeated inputs can be result-cached by the axon tunnel, so
-every pair in the grid uses distinct caption/video data.
+every pair uses distinct caption/video data.
 """
 
 import argparse
@@ -31,6 +37,8 @@ def main():
     ap.add_argument("--topk", type=int, default=16)
     ap.add_argument("--batch", type=int, default=16, help="pairs per chip per step")
     ap.add_argument("--caption-tokens", type=int, default=32)
+    ap.add_argument("--naive", action="store_true", help="disable prefix-KV sharing")
+    ap.add_argument("--no-cpn", action="store_true", help="skip the CPN prior pass")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -46,7 +54,8 @@ def main():
     from blim_tpu.core.mesh import make_mesh
     from blim_tpu.data.prompts import make_vtg_layout
     from blim_tpu.data.tokenization import ByteFallbackTokenizer
-    from blim_tpu.engine.rerank import CaptionBank, RerankEngine, topk_pairs
+    from blim_tpu.engine.evaluation import EvalInputs, evaluation
+    from blim_tpu.engine.rerank import RerankEngine
     from blim_tpu.models import videochat_flash as vcf
 
     cfg = tiny_model_config(vocab_size=152064) if args.tiny else ModelConfig()
@@ -68,43 +77,56 @@ def main():
         rng.standard_normal((n, cfg.num_clips, cfg.tokens_per_clip, cfg.mm_hidden_size)),
         np.float32,
     ) * 0.5
-    iv2 = rng.standard_normal((n, n)).astype(np.float32) + 0.01
+    iv2_t2v = rng.standard_normal((n, n)).astype(np.float32) + 0.01
+    iv2_v2t = rng.standard_normal((n, n)).astype(np.float32) + 0.01
+    inputs = EvalInputs(
+        captions=captions,
+        item_video_idx=np.arange(n),
+        features=feats,
+        t2v_iv2=iv2_t2v,
+        v2t_iv2=iv2_v2t,
+    )
 
     mesh = make_mesh()
     n_chips = len(jax.devices())
     engine = RerankEngine(params, cfg, layout, None, mesh, batch_size=args.batch)
-    bank = CaptionBank.build_vtg(captions, tok, dataset, layout)
-    banks = engine.upload(bank, feats)
 
-    rows, cols = topk_pairs(iv2, args.topk)
+    def run():
+        return evaluation(
+            engine, inputs, tok, dataset, topk=args.topk,
+            cpn=not args.no_cpn, has_tvg=False, verbose=False,
+            shared_prefix=not args.naive,
+        )
 
-    # warmup / compile on a slice
-    engine.score_grid_vtg(
-        banks, rows[: engine.batch_size], cols[: engine.batch_size],
-        cap_idx=rows[: engine.batch_size], vid_idx=cols[: engine.batch_size],
-        out_shape=(n, n), with_prior=False,
+    # warmup/compile on a reduced problem (step shapes are size-independent)
+    nw = min(n, max(2 * args.topk, args.batch))
+    warm = EvalInputs(
+        captions=captions[:nw], item_video_idx=np.arange(nw), features=feats[:nw],
+        t2v_iv2=iv2_t2v[:nw, :nw], v2t_iv2=iv2_v2t[:nw, :nw],
     )
+    evaluation(engine, warm, tok, dataset, topk=args.topk, cpn=not args.no_cpn,
+               has_tvg=False, verbose=False, shared_prefix=not args.naive)
 
     t0 = time.perf_counter()
-    mat, _ = engine.score_grid_vtg(
-        banks, rows, cols, cap_idx=rows, vid_idx=cols,
-        out_shape=(n, n), with_prior=False,
-    )
+    t2v, v2t = run()
     elapsed = time.perf_counter() - t0
 
-    assert np.isfinite(mat[rows, cols]).all(), "non-finite scores"
-    qps = n / elapsed
-    qps_per_chip = qps / n_chips
+    for name, m in [("t2v.query", t2v["query_likelihood"]), ("v2t.cand", v2t["candidate_likelihood"])]:
+        cells = m[m > -100.0]
+        assert len(cells) and np.isfinite(cells).all(), f"bad scores in {name}"
+
+    qps_per_chip = n / elapsed / n_chips
     result = {
         "metric": "msrvtt_zeroshot_rerank_queries_per_sec_per_chip",
         "value": round(qps_per_chip, 4),
-        "unit": "queries/s/chip (topk=16, 7B, P(t|v))" if not args.tiny else "queries/s/chip (tiny smoke)",
+        "unit": "queries/s/chip (full zero-shot flow, topk=16, 7B)" if not args.tiny
+                else "queries/s/chip (tiny smoke)",
         "vs_baseline": round(qps_per_chip / BASELINE_QPS_PER_CHIP, 3),
     }
     print(json.dumps(result))
     print(
-        f"# {n} queries x top{args.topk} = {len(rows)} pairs in {elapsed:.1f}s "
-        f"on {n_chips} chip(s); {len(rows)/elapsed:.1f} pairs/s",
+        f"# {n} queries, topk={args.topk}, cpn={not args.no_cpn}, "
+        f"shared_prefix={not args.naive}: {elapsed:.1f}s on {n_chips} chip(s)",
         file=sys.stderr,
     )
 

@@ -203,6 +203,40 @@ class VTGLayout:
         at caption_start + i, for i in [0, max_caption_tokens + n_term)."""
         return self.caption_start - 1, self.max_caption_tokens + len(self.terminator_ids)
 
+    # -- shared-prefix views (prefix-KV reuse in the rerank engine) ---------
+
+    @property
+    def prefix_len(self) -> int:
+        """Tokens before the scoring suffix: everything up to (and excluding)
+        the last post token, whose hidden state predicts the first caption
+        token."""
+        return self.caption_start - 1
+
+    @property
+    def suffix_width(self) -> int:
+        """Suffix = last post token + caption region."""
+        return 1 + self.max_caption_tokens + len(self.terminator_ids)
+
+    def prefix_token_ids(self) -> np.ndarray:
+        """(prefix_len,) layout tokens with zeros in the video slot (embeds
+        are spliced over them)."""
+        ids = np.zeros((self.prefix_len,), np.int32)
+        ids[: len(self.pre_ids)] = self.pre_ids
+        p = len(self.pre_ids) + self.num_video_tokens
+        ids[p:] = self.post_ids[:-1]
+        return ids
+
+    def prior_prefix(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(ids, position_ids) of the text-only CPN-prior prefix: pre + post
+        tokens at their original (video-gapped) layout positions. Constant
+        for the dataset — the prior's prefix KV is computed once."""
+        ids = np.asarray(list(self.pre_ids) + list(self.post_ids[:-1]), np.int32)
+        pos = np.concatenate([
+            np.arange(len(self.pre_ids)),
+            np.arange(len(self.pre_ids) + self.num_video_tokens, self.caption_start - 1),
+        ]).astype(np.int32)
+        return ids, pos
+
     def caption_token_ids(self, caption: str, tokenizer, dataset: str) -> List[int]:
         """Caption tokens extracted *in context* from the full rendered prompt,
         so BPE merges at the assistant-header boundary match the reference's

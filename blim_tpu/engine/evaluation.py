@@ -49,6 +49,7 @@ def evaluation(
     has_tvg: bool = True,
     fill: float = -100.0,
     verbose: bool = True,
+    shared_prefix: bool = True,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     t_start = time.time()
     n = len(inputs.captions)
@@ -64,14 +65,22 @@ def evaluation(
     t2v_dict: Dict[str, np.ndarray] = {}
     v2t_dict: Dict[str, np.ndarray] = {}
 
+    def vtg_grid(rows, cols, cap_idx, vid_idx, with_prior):
+        if shared_prefix:
+            return engine.score_grid_vtg_shared(
+                vtg_banks, rows, cols, cap_idx=cap_idx, vid_idx=vid_idx,
+                out_shape=(n, n), with_prior=with_prior, topk=topk, fill=fill,
+            )
+        return engine.score_grid_vtg(
+            vtg_banks, rows, cols, cap_idx=cap_idx, vid_idx=vid_idx,
+            out_shape=(n, n), with_prior=with_prior, fill=fill,
+        )
+
     # ---- V2T grid: rows = items-as-videos, cols = candidate captions -------
     rows, cols = topk_pairs(inputs.v2t_iv2, topk)
     if verbose:
         print(f"V2T grid: {len(rows)} pairs (topk={topk})")
-    cand, cand_prior = engine.score_grid_vtg(
-        vtg_banks, rows, cols, cap_idx=cols, vid_idx=item_vid[rows],
-        out_shape=(n, n), with_prior=cpn, fill=fill,
-    )
+    cand, cand_prior = vtg_grid(rows, cols, cap_idx=cols, vid_idx=item_vid[rows], with_prior=cpn)
     v2t_dict["candidate_likelihood"] = cand
     if cpn:
         v2t_dict["candidate_prior"] = cand_prior
@@ -87,10 +96,7 @@ def evaluation(
     rows, cols = topk_pairs(inputs.t2v_iv2, topk)
     if verbose:
         print(f"T2V grid: {len(rows)} pairs (topk={topk})")
-    query, _ = engine.score_grid_vtg(
-        vtg_banks, rows, cols, cap_idx=rows, vid_idx=item_vid[cols],
-        out_shape=(n, n), with_prior=False, fill=fill,
-    )
+    query, _ = vtg_grid(rows, cols, cap_idx=rows, vid_idx=item_vid[cols], with_prior=False)
     t2v_dict["query_likelihood"] = query
     if has_tvg:
         cand, cand_prior = engine.score_grid_tvg(

@@ -47,19 +47,25 @@ class CaptionBank:
     attention_mask: np.ndarray   # (N, T)
     cpn_mask: np.ndarray         # (N, T)
     window_labels: Optional[np.ndarray] = None  # (N, W) — VTG only
+    suffix_ids: Optional[np.ndarray] = None     # (N, Ws) — shared-prefix path
+    suffix_mask: Optional[np.ndarray] = None    # (N, Ws)
+    suffix_labels: Optional[np.ndarray] = None  # (N, Ws-1)
 
     @classmethod
     def build_vtg(cls, captions, tokenizer, dataset: str, layout: VTGLayout) -> "CaptionBank":
         encs = [layout.encode_caption(c, tokenizer, dataset) for c in captions]
         ws, wl = layout.label_window
-        labels = np.stack(
-            [e["labels"][layout.caption_start : layout.caption_start + wl] for e in encs]
-        )
+        cs = layout.caption_start
+        sw = layout.suffix_width
+        labels = np.stack([e["labels"][cs : cs + wl] for e in encs])
         return cls(
             input_ids=np.stack([e["input_ids"] for e in encs]),
             attention_mask=np.stack([e["attention_mask"] for e in encs]),
             cpn_mask=np.stack([e["cpn_mask"] for e in encs]),
             window_labels=labels,
+            suffix_ids=np.stack([e["input_ids"][cs - 1 : cs - 1 + sw] for e in encs]),
+            suffix_mask=np.stack([e["attention_mask"][cs - 1 : cs - 1 + sw] for e in encs]),
+            suffix_labels=np.stack([e["labels"][cs : cs + sw - 1] for e in encs]),
         )
 
     @classmethod
@@ -70,6 +76,50 @@ class CaptionBank:
             attention_mask=np.stack([e["attention_mask"] for e in encs]),
             cpn_mask=np.stack([e["cpn_mask"] for e in encs]),
         )
+
+
+def group_pairs_by_video(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    pair_vid: np.ndarray,   # (n_pairs,) vocab-video index of each pair
+    pair_cap: np.ndarray,   # (n_pairs,) caption index of each pair
+    k: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Chunk the pair list into groups of exactly `k` pairs sharing a video.
+
+    Returns (group_vid (M,), cap_idx (M,k), out_rows (M,k), out_cols (M,k)).
+    Groups smaller than k are padded by repeating their first pair — the
+    duplicate scatter writes the same value to the same cell (idempotent).
+    For the v2t grid every row is exactly one group; the t2v grid's groups
+    come from inverting the topk lists (each candidate video appears in ~k
+    queries' lists)."""
+    order = np.argsort(pair_vid, kind="stable")
+    rows, cols = rows[order], cols[order]
+    pair_vid, pair_cap = pair_vid[order], pair_cap[order]
+
+    g_vid, g_cap, g_rows, g_cols = [], [], [], []
+    start = 0
+    n = len(pair_vid)
+    while start < n:
+        end = start
+        while end < n and pair_vid[end] == pair_vid[start]:
+            end += 1
+        for s in range(start, end, k):
+            sl = np.arange(s, min(s + k, end))
+            pad = k - len(sl)
+            if pad:
+                sl = np.concatenate([sl, np.full(pad, sl[0])])
+            g_vid.append(pair_vid[start])
+            g_cap.append(pair_cap[sl])
+            g_rows.append(rows[sl])
+            g_cols.append(cols[sl])
+        start = end
+    return (
+        np.asarray(g_vid, np.int32),
+        np.stack(g_cap).astype(np.int32),
+        np.stack(g_rows).astype(np.int32),
+        np.stack(g_cols).astype(np.int32),
+    )
 
 
 def topk_pairs(sims: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -130,6 +180,19 @@ class RerankEngine:
             ),
             static_argnames=("with_prior",),
         )
+        self._vtg_shared_step = jax.jit(
+            functools.partial(
+                self._vtg_shared_step_impl,
+                video_start=vtg_layout.video_start,
+                position_offset=vtg_layout.prefix_len,
+            )
+        )
+        self._vtg_prior_step = jax.jit(
+            functools.partial(
+                self._vtg_prior_step_impl,
+                position_offset=vtg_layout.prefix_len,
+            )
+        )
         if tvg_layout is not None:
             self._tvg_step = jax.jit(
                 functools.partial(
@@ -152,6 +215,10 @@ class RerankEngine:
         }
         if bank.window_labels is not None:
             dev["labels"] = jax.device_put(jnp.asarray(bank.window_labels), self._replicated)
+        if bank.suffix_ids is not None:
+            dev["suffix_ids"] = jax.device_put(jnp.asarray(bank.suffix_ids), self._replicated)
+            dev["suffix_mask"] = jax.device_put(jnp.asarray(bank.suffix_mask), self._replicated)
+            dev["suffix_labels"] = jax.device_put(jnp.asarray(bank.suffix_labels), self._replicated)
         return dev
 
     # -- jitted steps ----------------------------------------------------------
@@ -201,6 +268,112 @@ class RerankEngine:
             cpn=True, lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
         )
         return score, prior
+
+    def _vtg_shared_step_impl(
+        self, params, lora, banks, prefix_ids, vid_idx, cap_idx,
+        *, video_start: int, position_offset: int,
+    ):
+        """Shared-prefix scoring: prefix KV once per video (G videos), then
+        K caption suffixes per video. vid_idx (G,), cap_idx (G, K)."""
+        video = jnp.take(banks["feats"], vid_idx, axis=0)
+        g, k = cap_idx.shape
+        prefix = jnp.broadcast_to(prefix_ids[None], (g, prefix_ids.shape[0]))
+        kv = vcf.vtg_prefix_hidden_kv(
+            params, self.config, prefix, video, video_start,
+            lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+        )
+        flat = cap_idx.reshape(-1)
+        suf_ids = jnp.take(banks["suffix_ids"], flat, axis=0).reshape(g, k, -1)
+        suf_mask = jnp.take(banks["suffix_mask"], flat, axis=0).reshape(g, k, -1)
+        suf_labels = jnp.take(banks["suffix_labels"], flat, axis=0).reshape(g, k, -1)
+        return vcf.score_vtg_suffix(
+            params, self.config, kv, suf_ids, suf_mask, suf_labels,
+            position_offset, lora=lora, lora_scale=self.lora_scale,
+        )
+
+    def _vtg_prior_step_impl(
+        self, params, lora, banks, prior_kv, cap_idx, *, position_offset: int
+    ):
+        """CPN prior P(t) per caption over the constant text-only prefix.
+        cap_idx (B,) -> scores (B,)."""
+        suf_ids = jnp.take(banks["suffix_ids"], cap_idx, axis=0)[None]
+        suf_mask = jnp.take(banks["suffix_mask"], cap_idx, axis=0)[None]
+        suf_labels = jnp.take(banks["suffix_labels"], cap_idx, axis=0)[None]
+        scores = vcf.score_vtg_suffix(
+            params, self.config, prior_kv, suf_ids, suf_mask, suf_labels,
+            position_offset, lora=lora, lora_scale=self.lora_scale,
+        )
+        return scores[0]
+
+    def compute_prior_kv(self, layout: VTGLayout):
+        ids, pos = layout.prior_prefix()
+        return jax.jit(
+            functools.partial(
+                vcf.vtg_text_prefix_kv, config=self.config,
+                lora=self.lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+            )
+        )(self.params, prefix_ids=jnp.asarray(ids)[None], position_ids=jnp.asarray(pos)[None])
+
+    def score_grid_vtg_shared(
+        self,
+        banks: Dict[str, jax.Array],
+        rows: np.ndarray,
+        cols: np.ndarray,
+        cap_idx: np.ndarray,
+        vid_idx: np.ndarray,
+        out_shape: Tuple[int, int],
+        with_prior: bool,
+        topk: int,
+        fill: float = -100.0,
+        groups_per_step: Optional[int] = None,
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Prefix-KV-shared VTG grid + (optionally) the per-caption prior."""
+        g_vid, g_cap, g_rows, g_cols = group_pairs_by_video(rows, cols, vid_idx, cap_idx, topk)
+        G = groups_per_step or max(self.batch_size // topk, self.n_data)
+        G = -(-G // self.n_data) * self.n_data
+        m = len(g_vid)
+        m_pad = -(-m // G) * G
+        pad = m_pad - m
+        if pad:
+            g_vid = np.concatenate([g_vid, np.repeat(g_vid[:1], pad)])
+            g_cap = np.concatenate([g_cap, np.repeat(g_cap[:1], pad, axis=0)])
+
+        prefix_ids = jnp.asarray(self.vtg_layout.prefix_token_ids())
+        group_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        group_sharding2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        mat = np.full(out_shape, fill, np.float32)
+        for s in range(0, m_pad, G):
+            vi = jax.device_put(jnp.asarray(g_vid[s : s + G]), group_sharding)
+            ci = jax.device_put(jnp.asarray(g_cap[s : s + G]), group_sharding2)
+            scores = np.asarray(
+                self._vtg_shared_step(self.params, self.lora, banks, prefix_ids, vi, ci),
+                np.float32,
+            )
+            n_real = min(G, m - s)
+            for gi in range(n_real):
+                mat[g_rows[s + gi], g_cols[s + gi]] = scores[gi]
+
+        if not with_prior:
+            return mat, None
+        # per-caption prior, broadcast into the same cells
+        prior_kv = self.compute_prior_kv(self.vtg_layout)
+        n_caps = int(banks["suffix_ids"].shape[0])
+        B = self.batch_size
+        prior = np.empty(n_caps, np.float32)
+        all_caps = np.arange(n_caps, dtype=np.int32)
+        padded = -(-n_caps // B) * B
+        caps_padded = np.resize(all_caps, padded)
+        pair_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        for s in range(0, padded, B):
+            ci = jax.device_put(jnp.asarray(caps_padded[s : s + B]), pair_sharding)
+            out = np.asarray(
+                self._vtg_prior_step(self.params, self.lora, banks, prior_kv, ci), np.float32
+            )
+            end = min(s + B, n_caps)
+            prior[s:end] = out[: end - s]
+        pmat = np.full(out_shape, fill, np.float32)
+        pmat[rows, cols] = prior[cap_idx]  # prior depends only on the caption
+        return mat, pmat
 
     # -- pair-grid driver -------------------------------------------------------
 

@@ -179,10 +179,16 @@ def flash_attention(
         scale = d ** -0.5
     blk_q = min(blk_q, s)
     blk_k = min(blk_k, s)
-    while s % blk_q:
+    while blk_q > 1 and s % blk_q:
         blk_q //= 2
-    while s % blk_k:
+    while blk_k > 1 and s % blk_k:
         blk_k //= 2
+    if blk_q < 8 or blk_k < 128 or d % 128:
+        # shape doesn't tile onto the MXU/VPU lanes (odd sequence lengths,
+        # tiny heads in tests) — the XLA path is equally fast at small sizes
+        from blim_tpu.kernels.attention import _xla_attention
+
+        return _xla_attention(q, k, v, key_mask, query_mask, causal, scale)
     if key_mask is None:
         key_mask = jnp.ones((b, s), jnp.int32)
     if query_mask is None:

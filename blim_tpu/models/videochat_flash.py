@@ -192,6 +192,99 @@ def score_tvg(
     return criteria.tvg_likelihood(logits, batch["video_label"])
 
 
+# ---------------------------------------------------------------------------
+# Shared-prefix VTG scoring (prefix-KV reuse)
+# ---------------------------------------------------------------------------
+#
+# Every VTG pair sharing a video also shares the whole [pre][video][post]
+# prefix (the caption is the only varying part, and it sits at the end of the
+# right-padded layout). The reference recomputes the full sequence for each of
+# the topk candidates (retrieval_utils.py:62-108); here the prefix runs once
+# per video and only short caption suffixes run per pair. The CPN prior is
+# video-independent (the video block is masked out of attention), so its
+# text-only prefix is computed once per dataset and each caption's prior once
+# per caption instead of once per pair.
+
+def vtg_prefix_hidden_kv(
+    params: Params,
+    config: ModelConfig,
+    prefix_ids: jax.Array,      # (G, P) — layout tokens before the suffix
+    video: jax.Array,           # (G, clips, tokens_per_clip, mm)
+    video_start: int,
+    position_ids: Optional[jax.Array] = None,
+    *,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    use_pallas: Optional[bool] = None,
+):
+    """Prefix forward returning per-layer K/V. Prefix tokens are all real
+    (no padding), so the mask is all-ones."""
+    llm_lora, proj_lora = _lora_parts(lora)
+    vid = projector_lib.project_vtg(params["projector"], video, lora=proj_lora,
+                                    lora_scale=lora_scale)
+    emb = qwen2.embed_tokens(params["llm"], prefix_ids)
+    emb = splice_video(emb, vid, video_start)
+    mask = jnp.ones(prefix_ids.shape, jnp.int32)
+    _, kv = qwen2.forward_collect_kv(
+        params["llm"], config.llm, emb, mask, position_ids,
+        lora=llm_lora, lora_scale=lora_scale, use_pallas=use_pallas,
+    )
+    return kv
+
+
+def vtg_text_prefix_kv(
+    params: Params,
+    config: ModelConfig,
+    prefix_ids: jax.Array,      # (1, P2) text-only prefix (pre + post[:-1])
+    position_ids: jax.Array,    # (1, P2) original layout positions (gap at video)
+    *,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    use_pallas: Optional[bool] = None,
+):
+    """Prefix K/V for the CPN prior P(t): the video block is invisible, so the
+    prefix is pure text at its original (gapped) positions."""
+    llm_lora, _ = _lora_parts(lora)
+    emb = qwen2.embed_tokens(params["llm"], prefix_ids)
+    mask = jnp.ones(prefix_ids.shape, jnp.int32)
+    _, kv = qwen2.forward_collect_kv(
+        params["llm"], config.llm, emb, mask, position_ids,
+        lora=llm_lora, lora_scale=lora_scale, use_pallas=use_pallas,
+    )
+    return kv
+
+
+def score_vtg_suffix(
+    params: Params,
+    config: ModelConfig,
+    prefix_kv,
+    suffix_ids: jax.Array,      # (G, K, W)
+    suffix_mask: jax.Array,     # (G, K, W)
+    suffix_labels: jax.Array,   # (G, K, W-1): label for hidden position i is
+                                # token i+1 (IGNORE on pads/terminator overrun)
+    position_offset: int,
+    *,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+) -> jax.Array:
+    """Likelihood of each suffix given its group's prefix -> (G, K)."""
+    llm_lora, _ = _lora_parts(lora)
+    emb = qwen2.embed_tokens(params["llm"], suffix_ids)
+    hidden = qwen2.forward_suffix_with_prefix(
+        params["llm"], config.llm, emb, prefix_kv, suffix_mask, position_offset,
+        lora=llm_lora, lora_scale=lora_scale,
+    )
+    logits = qwen2.lm_logits(
+        params["llm"], hidden[:, :, :-1], config.llm, lora=llm_lora, lora_scale=lora_scale
+    )
+    g, k = suffix_ids.shape[:2]
+    flat = criteria.vtg_likelihood(
+        logits.reshape(g * k, *logits.shape[2:]),
+        suffix_labels.reshape(g * k, -1),
+    )
+    return flat.reshape(g, k)
+
+
 def make_video_vocab(features: jax.Array) -> jax.Array:
     """(V, clips, tokens_per_clip, mm) cached features -> (V, clips, mm) vocab
     by mean-pooling the token axis (reference: base_dataset.py:33-37)."""

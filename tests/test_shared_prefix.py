@@ -1,0 +1,93 @@
+"""Shared-prefix (prefix-KV reuse) scoring must be numerically equivalent to
+the naive full-sequence path — likelihoods AND the CPN prior (the prior is
+video-independent, so the per-caption computation must match the reference's
+per-pair computation)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from blim_tpu.core.config import tiny_model_config
+from blim_tpu.core.mesh import make_mesh
+from blim_tpu.data.prompts import make_vtg_layout
+from blim_tpu.engine.rerank import CaptionBank, RerankEngine, group_pairs_by_video, topk_pairs
+from blim_tpu.models import videochat_flash as vcf
+
+N = 6
+TOPK = 3
+
+CAPTIONS = [
+    "a cat sits on a mat",
+    "a man rides a horse",
+    "children play soccer",
+    "a chef cooks pasta",
+    "a dog catches a frisbee",
+    "two people dance",
+]
+
+
+@pytest.fixture(scope="module")
+def setup(tokenizer):
+    cfg = tiny_model_config(vocab_size=152064, num_clips=4)
+    params = vcf.init_params(cfg, jax.random.key(0))
+    feats = np.asarray(
+        jax.random.normal(jax.random.key(1), (N, cfg.num_clips, cfg.tokens_per_clip, cfg.mm_hidden_size))
+    ).astype(np.float32) * 0.5
+    layout = make_vtg_layout(tokenizer, "MSRVTT", cfg.video_tokens_vtg, max_caption_tokens=24)
+    mesh = make_mesh(devices=jax.devices()[:2])
+    engine = RerankEngine(params, cfg, layout, None, mesh, batch_size=3)
+    bank = CaptionBank.build_vtg(CAPTIONS, tokenizer, "MSRVTT", layout)
+    banks = engine.upload(bank, feats)
+    sims = np.random.default_rng(2).standard_normal((N, N)).astype(np.float32)
+    rows, cols = topk_pairs(sims, TOPK)
+    return engine, banks, rows, cols
+
+
+def test_group_pairs_by_video_covers_all_pairs():
+    rng = np.random.default_rng(0)
+    rows = np.repeat(np.arange(10), 4)
+    cols = np.concatenate([rng.permutation(10)[:4] for _ in range(10)])  # unique (r,c)
+    vid = rng.integers(0, 5, 40)
+    g_vid, g_cap, g_rows, g_cols = group_pairs_by_video(rows, cols, vid, cols, k=4)
+    # every original pair appears
+    got = set(zip(g_rows.reshape(-1), g_cols.reshape(-1)))
+    assert set(zip(rows, cols)) <= got
+    # each group's pairs share the video
+    for m in range(len(g_vid)):
+        pair_positions = [np.where((rows == r) & (cols == c))[0] for r, c in zip(g_rows[m], g_cols[m])]
+        for pp in pair_positions:
+            assert (vid[pp] == g_vid[m]).all()
+
+
+def test_shared_prefix_matches_naive_likelihood(setup):
+    engine, banks, rows, cols = setup
+    vid_idx = rows.copy()  # v2t: video of pair = row item (1:1)
+    naive, naive_prior = engine.score_grid_vtg(
+        banks, rows, cols, cap_idx=cols, vid_idx=vid_idx,
+        out_shape=(N, N), with_prior=True,
+    )
+    shared, shared_prior = engine.score_grid_vtg_shared(
+        banks, rows, cols, cap_idx=cols, vid_idx=vid_idx,
+        out_shape=(N, N), with_prior=True, topk=TOPK,
+    )
+    mask = naive > -100.0
+    assert (shared > -100.0).sum() == mask.sum()
+    np.testing.assert_allclose(shared[mask], naive[mask], rtol=3e-4, atol=3e-4)
+    # the prior: per-caption shared computation == per-pair naive computation
+    np.testing.assert_allclose(shared_prior[mask], naive_prior[mask], rtol=3e-4, atol=3e-4)
+
+
+def test_shared_prefix_t2v_direction(setup):
+    engine, banks, rows, cols = setup
+    # t2v: caption = row, video = col item
+    naive, _ = engine.score_grid_vtg(
+        banks, rows, cols, cap_idx=rows, vid_idx=cols,
+        out_shape=(N, N), with_prior=False,
+    )
+    shared, _ = engine.score_grid_vtg_shared(
+        banks, rows, cols, cap_idx=rows, vid_idx=cols,
+        out_shape=(N, N), with_prior=False, topk=TOPK,
+    )
+    mask = naive > -100.0
+    np.testing.assert_allclose(shared[mask], naive[mask], rtol=3e-4, atol=3e-4)
