@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--caption-tokens", type=int, default=32)
     ap.add_argument("--naive", action="store_true", help="disable prefix-KV sharing")
     ap.add_argument("--no-cpn", action="store_true", help="skip the CPN prior pass")
+    ap.add_argument("--finetuned", action="store_true",
+                    help="fine-tuned-mode eval: all 6 matrices incl. TVG directions")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -52,7 +54,7 @@ def main():
 
     from blim_tpu.core.config import ModelConfig, tiny_model_config
     from blim_tpu.core.mesh import make_mesh
-    from blim_tpu.data.prompts import make_vtg_layout
+    from blim_tpu.data.prompts import make_tvg_layout, make_vtg_layout
     from blim_tpu.data.tokenization import ByteFallbackTokenizer
     from blim_tpu.engine.evaluation import EvalInputs, evaluation
     from blim_tpu.engine.rerank import RerankEngine
@@ -62,6 +64,10 @@ def main():
     tok = ByteFallbackTokenizer()
     dataset = "MSRVTT"
     layout = make_vtg_layout(tok, dataset, cfg.video_tokens_vtg, max_caption_tokens=args.caption_tokens)
+    tvg_layout = (
+        make_tvg_layout(tok, cfg.num_clips, max_caption_tokens=args.caption_tokens)
+        if args.finetuned else None
+    )
 
     n = args.queries
     rng = np.random.default_rng(args.seed)
@@ -89,12 +95,12 @@ def main():
 
     mesh = make_mesh()
     n_chips = len(jax.devices())
-    engine = RerankEngine(params, cfg, layout, None, mesh, batch_size=args.batch)
+    engine = RerankEngine(params, cfg, layout, tvg_layout, mesh, batch_size=args.batch)
 
     def run():
         return evaluation(
             engine, inputs, tok, dataset, topk=args.topk,
-            cpn=not args.no_cpn, has_tvg=False, verbose=False,
+            cpn=not args.no_cpn, has_tvg=args.finetuned, verbose=False,
             shared_prefix=not args.naive,
         )
 
@@ -105,7 +111,7 @@ def main():
         t2v_iv2=iv2_t2v[:nw, :nw], v2t_iv2=iv2_v2t[:nw, :nw],
     )
     evaluation(engine, warm, tok, dataset, topk=args.topk, cpn=not args.no_cpn,
-               has_tvg=False, verbose=False, shared_prefix=not args.naive)
+               has_tvg=args.finetuned, verbose=False, shared_prefix=not args.naive)
 
     t0 = time.perf_counter()
     t2v, v2t = run()
@@ -116,10 +122,11 @@ def main():
         assert len(cells) and np.isfinite(cells).all(), f"bad scores in {name}"
 
     qps_per_chip = n / elapsed / n_chips
+    mode = "finetuned 6-matrix" if args.finetuned else "full zero-shot"
     result = {
         "metric": "msrvtt_zeroshot_rerank_queries_per_sec_per_chip",
         "value": round(qps_per_chip, 4),
-        "unit": "queries/s/chip (full zero-shot flow, topk=16, 7B)" if not args.tiny
+        "unit": f"queries/s/chip ({mode} flow, topk=16, 7B)" if not args.tiny
                 else "queries/s/chip (tiny smoke)",
         "vs_baseline": round(qps_per_chip / BASELINE_QPS_PER_CHIP, 3),
     }

@@ -322,6 +322,18 @@ class TVGLayout:
         ``<|im_end|>`` in the labels and offsets by -(num_clips+1)..-2)."""
         return np.arange(self.video_start - 1, self.video_start - 1 + self.num_clips)
 
+    # -- shared-prefix views -------------------------------------------------
+
+    @property
+    def prefix_len(self) -> int:
+        """Left-padded text prompt up to (excluding) the last text token."""
+        return self.video_start - 1
+
+    @property
+    def suffix_width(self) -> int:
+        """[last text token | clip tokens | terminators]."""
+        return 1 + self.num_clips + len(self.terminator_ids)
+
     def encode_caption(self, caption: str, tokenizer) -> Dict[str, np.ndarray]:
         prompt_only, _ = tvg_prompt_strings(caption)
         return self.encode(tokenizer(prompt_only).input_ids)

@@ -84,11 +84,19 @@ def evaluation(
     v2t_dict["candidate_likelihood"] = cand
     if cpn:
         v2t_dict["candidate_prior"] = cand_prior
-    if has_tvg:
-        query, _ = engine.score_grid_tvg(
-            tvg_banks, video_vocab, rows, cols, cap_idx=cols, vid_idx=item_vid[rows],
-            out_shape=(n, n), with_prior=False, fill=fill,
+    def tvg_grid(rows, cols, cap_idx, vid_idx, with_prior):
+        if shared_prefix:
+            return engine.score_grid_tvg_shared(
+                tvg_banks, video_vocab, rows, cols, cap_idx=cap_idx, vid_idx=vid_idx,
+                out_shape=(n, n), with_prior=with_prior, topk=topk, fill=fill,
+            )
+        return engine.score_grid_tvg(
+            tvg_banks, video_vocab, rows, cols, cap_idx=cap_idx, vid_idx=vid_idx,
+            out_shape=(n, n), with_prior=with_prior, fill=fill,
         )
+
+    if has_tvg:
+        query, _ = tvg_grid(rows, cols, cap_idx=cols, vid_idx=item_vid[rows], with_prior=False)
         v2t_dict["query_likelihood"] = query
     v2t_dict["internvideo2"] = np.asarray(inputs.v2t_iv2, np.float32)
 
@@ -99,10 +107,7 @@ def evaluation(
     query, _ = vtg_grid(rows, cols, cap_idx=rows, vid_idx=item_vid[cols], with_prior=False)
     t2v_dict["query_likelihood"] = query
     if has_tvg:
-        cand, cand_prior = engine.score_grid_tvg(
-            tvg_banks, video_vocab, rows, cols, cap_idx=rows, vid_idx=item_vid[cols],
-            out_shape=(n, n), with_prior=cpn, fill=fill,
-        )
+        cand, cand_prior = tvg_grid(rows, cols, cap_idx=rows, vid_idx=item_vid[cols], with_prior=cpn)
         t2v_dict["candidate_likelihood"] = cand
         if cpn:
             t2v_dict["candidate_prior"] = cand_prior

@@ -68,13 +68,23 @@ class CaptionBank:
             suffix_labels=np.stack([e["labels"][cs : cs + sw - 1] for e in encs]),
         )
 
+    prefix_ids: Optional[np.ndarray] = None     # (N, P) — TVG shared-prefix path
+    prefix_mask: Optional[np.ndarray] = None
+    prefix_cpn: Optional[np.ndarray] = None
+    first_ids: Optional[np.ndarray] = None      # (N,) last text token id
+
     @classmethod
     def build_tvg(cls, captions, tokenizer, layout: TVGLayout) -> "CaptionBank":
         encs = [layout.encode_caption(c, tokenizer) for c in captions]
+        P = layout.prefix_len
         return cls(
             input_ids=np.stack([e["input_ids"] for e in encs]),
             attention_mask=np.stack([e["attention_mask"] for e in encs]),
             cpn_mask=np.stack([e["cpn_mask"] for e in encs]),
+            prefix_ids=np.stack([e["input_ids"][:P] for e in encs]),
+            prefix_mask=np.stack([e["attention_mask"][:P] for e in encs]),
+            prefix_cpn=np.stack([e["cpn_mask"][:P] for e in encs]),
+            first_ids=np.asarray([e["input_ids"][P] for e in encs], np.int32),
         )
 
 
@@ -202,6 +212,14 @@ class RerankEngine:
                 ),
                 static_argnames=("with_prior",),
             )
+            self._tvg_shared_step = jax.jit(
+                functools.partial(
+                    self._tvg_shared_step_impl,
+                    position_offset=tvg_layout.prefix_len,
+                    terminator_ids=tvg_layout.terminator_ids,
+                ),
+                static_argnames=("with_prior",),
+            )
 
     # -- device-resident banks ------------------------------------------------
 
@@ -219,6 +237,11 @@ class RerankEngine:
             dev["suffix_ids"] = jax.device_put(jnp.asarray(bank.suffix_ids), self._replicated)
             dev["suffix_mask"] = jax.device_put(jnp.asarray(bank.suffix_mask), self._replicated)
             dev["suffix_labels"] = jax.device_put(jnp.asarray(bank.suffix_labels), self._replicated)
+        if bank.prefix_ids is not None:
+            dev["prefix_ids"] = jax.device_put(jnp.asarray(bank.prefix_ids), self._replicated)
+            dev["prefix_mask"] = jax.device_put(jnp.asarray(bank.prefix_mask), self._replicated)
+            dev["prefix_cpn"] = jax.device_put(jnp.asarray(bank.prefix_cpn), self._replicated)
+            dev["first_ids"] = jax.device_put(jnp.asarray(bank.first_ids), self._replicated)
         return dev
 
     # -- jitted steps ----------------------------------------------------------
@@ -304,6 +327,81 @@ class RerankEngine:
             position_offset, lora=lora, lora_scale=self.lora_scale,
         )
         return scores[0]
+
+    def _tvg_shared_step_impl(
+        self, params, lora, banks, video_vocab, cap_idx, vid_idx,
+        *, with_prior: bool, position_offset: int, terminator_ids,
+    ):
+        """Shared-prefix TVG scoring grouped by caption: prefix KV once per
+        caption (G captions), K candidate-video suffixes each.
+        cap_idx (G,), vid_idx (G, K)."""
+        g, k = vid_idx.shape
+        prefix_ids = jnp.take(banks["prefix_ids"], cap_idx, axis=0)
+        first_ids = jnp.take(banks["first_ids"], cap_idx, axis=0)
+        video = jnp.take(banks["feats"], vid_idx.reshape(-1), axis=0)
+        video = video.reshape(g, k, *video.shape[1:])
+
+        def run(pm, cpn):
+            kv = vcf.tvg_prefix_kv(
+                params, self.config, prefix_ids, pm,
+                lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+            )
+            return vcf.score_tvg_shared(
+                params, self.config, kv, pm, first_ids, video, vid_idx, video_vocab,
+                terminator_ids, position_offset, cpn=cpn,
+                lora=lora, lora_scale=self.lora_scale,
+            )
+
+        score = run(jnp.take(banks["prefix_mask"], cap_idx, axis=0), False)
+        if not with_prior:
+            return score, score
+        prior = run(jnp.take(banks["prefix_cpn"], cap_idx, axis=0), True)
+        return score, prior
+
+    def score_grid_tvg_shared(
+        self,
+        banks: Dict[str, jax.Array],
+        video_vocab: jax.Array,
+        rows: np.ndarray,
+        cols: np.ndarray,
+        cap_idx: np.ndarray,       # (n_pairs,) caption per pair (the group key)
+        vid_idx: np.ndarray,       # (n_pairs,) vocab-video per pair
+        out_shape: Tuple[int, int],
+        with_prior: bool,
+        topk: int,
+        fill: float = -100.0,
+        groups_per_step: Optional[int] = None,
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Prefix-KV-shared TVG grid: pairs grouped by caption."""
+        g_cap, g_vid, g_rows, g_cols = group_pairs_by_video(rows, cols, cap_idx, vid_idx, topk)
+        G = groups_per_step or max(self.batch_size // topk, self.n_data)
+        G = -(-G // self.n_data) * self.n_data
+        m = len(g_cap)
+        m_pad = -(-m // G) * G
+        pad = m_pad - m
+        if pad:
+            g_cap = np.concatenate([g_cap, np.repeat(g_cap[:1], pad)])
+            g_vid = np.concatenate([g_vid, np.repeat(g_vid[:1], pad, axis=0)])
+
+        gs1 = NamedSharding(self.mesh, P(DATA_AXIS))
+        gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        mat = np.full(out_shape, fill, np.float32)
+        pmat = np.full(out_shape, fill, np.float32) if with_prior else None
+        for s in range(0, m_pad, G):
+            ci = jax.device_put(jnp.asarray(g_cap[s : s + G]), gs1)
+            vi = jax.device_put(jnp.asarray(g_vid[s : s + G]), gs2)
+            score, prior = self._tvg_shared_step(
+                self.params, self.lora, banks, video_vocab, ci, vi, with_prior=with_prior
+            )
+            score = np.asarray(score, np.float32)
+            if with_prior:
+                prior = np.asarray(prior, np.float32)
+            n_real = min(G, m - s)
+            for gi in range(n_real):
+                mat[g_rows[s + gi], g_cols[s + gi]] = score[gi]
+                if with_prior:
+                    pmat[g_rows[s + gi], g_cols[s + gi]] = prior[gi]
+        return mat, pmat
 
     def compute_prior_kv(self, layout: VTGLayout):
         ids, pos = layout.prior_prefix()

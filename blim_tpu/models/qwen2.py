@@ -278,12 +278,14 @@ def _grouped_prefix_attention(
     v_pre: jax.Array,
     suffix_mask: jax.Array,   # (G, K, W) 1 = real suffix token
     scale: float,
+    prefix_mask: Optional[jax.Array] = None,   # (G, P); None = all visible
 ) -> jax.Array:
     """Attention of suffix queries over [shared prefix | own suffix].
 
     The prefix KV is shared by the K suffixes of each group — the broadcast
-    happens inside the einsum, never materialized. All prefix keys are
-    visible; suffix keys are causal + masked. Softmax in fp32.
+    happens inside the einsum, never materialized. Prefix keys are gated by
+    `prefix_mask` (left padding / CPN priors); suffix keys are causal +
+    masked. Softmax in fp32.
     """
     g, kk, w, hq, hd = q.shape
     hkv = k_suf.shape[3]
@@ -292,6 +294,10 @@ def _grouped_prefix_attention(
 
     s_pre = jnp.einsum("gkwhud,gphd->gkhuwp", qf, k_pre.astype(jnp.float32))
     s_suf = jnp.einsum("gkwhud,gkxhd->gkhuwx", qf, k_suf.astype(jnp.float32))
+
+    if prefix_mask is not None:
+        pm = prefix_mask.astype(bool)[:, None, None, None, None, :]
+        s_pre = jnp.where(pm, s_pre, -1e30)
 
     causal = jnp.arange(w)[:, None] >= jnp.arange(w)[None, :]
     km = suffix_mask.astype(bool)[:, :, None, None, None, :]
@@ -303,6 +309,8 @@ def _grouped_prefix_attention(
     p_pre, p_suf = p[..., : s_pre.shape[-1]], p[..., s_pre.shape[-1]:]
     out = jnp.einsum("gkhuwp,gphd->gkwhud", p_pre.astype(v_pre.dtype), v_pre)
     out = out + jnp.einsum("gkhuwx,gkxhd->gkwhud", p_suf.astype(v_suf.dtype), v_suf)
+    # varlen semantics: masked suffix queries emit zero attention output
+    out = out * suffix_mask[:, :, :, None, None, None].astype(out.dtype)
     return out.reshape(g, kk, w, hq, hd)
 
 
@@ -314,6 +322,7 @@ def forward_suffix_with_prefix(
     suffix_mask: jax.Array,       # (G, K, W)
     position_offset: int,         # global position of suffix token 0
     *,
+    prefix_mask: Optional[jax.Array] = None,   # (G, P)
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
 ) -> jax.Array:
@@ -352,7 +361,9 @@ def forward_suffix_with_prefix(
         k = apply_dense(lp["k_proj"], x, lo("k_proj"), lora_scale).reshape(G, K, W, Kh, hd)
         v = apply_dense(lp["v_proj"], x, lo("v_proj"), lora_scale).reshape(G, K, W, Kh, hd)
         q, k = rope4(q), rope4(k)
-        attn = _grouped_prefix_attention(q, k, v, kv_k, kv_v, suffix_mask, hd ** -0.5)
+        attn = _grouped_prefix_attention(
+            q, k, v, kv_k, kv_v, suffix_mask, hd ** -0.5, prefix_mask=prefix_mask
+        )
         attn = apply_dense(lp["o_proj"], attn.reshape(G, K, W, H * hd), lo("o_proj"), lora_scale)
         hidden = hidden + attn
         x = rms_norm(hidden, lp["post_attention_layernorm"]["scale"], c.rms_norm_eps)

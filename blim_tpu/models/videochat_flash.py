@@ -193,6 +193,113 @@ def score_tvg(
 
 
 # ---------------------------------------------------------------------------
+# Interactive generation (generate / chat)
+# ---------------------------------------------------------------------------
+
+def generate(
+    params: Params,
+    config: ModelConfig,
+    input_ids,                     # flat prompt ids containing one -200 image slot
+    video_embeds: jax.Array,       # (Nv, D) projected video embeddings
+    tokenizer,
+    max_new_tokens: int = 256,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+):
+    """Single-prompt generation: splice + prefill + KV-cache decode
+    (reference: modeling_videochat_flash.py:632-654)."""
+    import numpy as np
+
+    from blim_tpu.core.constants import IMAGE_TOKEN_INDEX
+    from blim_tpu.models import generation
+
+    ids = np.asarray(input_ids)
+    (img_pos,) = np.nonzero(ids == IMAGE_TOKEN_INDEX)
+    if len(img_pos):
+        ip = int(img_pos[0])
+        before = jnp.asarray(ids[:ip], jnp.int32)
+        after = jnp.asarray(ids[ip + 1 :], jnp.int32)
+        emb = jnp.concatenate(
+            [
+                qwen2.embed_tokens(params["llm"], before),
+                video_embeds.astype(params["llm"]["embed_tokens"]["embedding"].dtype),
+                qwen2.embed_tokens(params["llm"], after),
+            ],
+            axis=0,
+        )[None]
+    else:
+        emb = qwen2.embed_tokens(params["llm"], jnp.asarray(ids, jnp.int32))[None]
+    mask = jnp.ones(emb.shape[:2], jnp.int32)
+    eos = [tokenizer.eos_token_id] if tokenizer.eos_token_id is not None else [151645]
+    tokens = generation.generate_tokens(
+        params["llm"], config.llm, emb, mask, max_new_tokens, eos,
+        temperature=temperature, rng=rng,
+    )
+    return np.asarray(tokens[0])
+
+
+def chat(
+    params: Params,
+    config: ModelConfig,
+    video_path: str,
+    tokenizer,
+    user_prompt: str,
+    featurize,                     # pixels -> cached features (pipelines.extract.make_featurizer)
+    image_processor,
+    chat_history: Optional[list] = None,
+    return_history: bool = True,
+    max_num_frames: int = 512,
+    max_new_tokens: int = 256,
+    temperature: float = 0.0,
+):
+    """Video chat: decode -> featurize -> prompt -> generate -> detokenize
+    (reference: modeling_videochat_flash.py:656-729)."""
+    import numpy as np
+
+    from blim_tpu.core.constants import DEFAULT_IMAGE_TOKEN
+    from blim_tpu.data.conversation import conv_templates
+    from blim_tpu.data.prompts import tokenizer_image_token
+    from blim_tpu.data.video import load_video
+    from blim_tpu.models.generation import KeywordsStoppingCriteria
+
+    frames, time_msg = load_video(
+        video_path, max_num_frames=max_num_frames,
+        local_num_frames=config.mm_local_num_frames,
+    )
+    pixels = image_processor.preprocess(frames)  # (T, 3, H, W)
+    lf = config.mm_local_num_frames
+    clips = len(pixels) // lf
+    pix = jnp.asarray(pixels[: clips * lf].reshape(1, clips, lf, *pixels.shape[1:]))
+    feats = featurize(pix)[0]                    # (clips, tokens_per_clip, mm)
+    video_embeds = projector_lib.project_vtg(params["projector"], feats[None])[0]
+
+    conv = conv_templates["qwen_2"].copy()
+    if chat_history:
+        for msg in chat_history:
+            conv.append_message(msg["role"], msg["content"])
+        conv.append_message(conv.roles[0], user_prompt)
+    else:
+        conv.append_message(
+            conv.roles[0], f"{DEFAULT_IMAGE_TOKEN}\n{time_msg.strip()} {user_prompt}"
+        )
+    conv.append_message(conv.roles[1], None)
+    prompt = conv.get_prompt()
+    input_ids = tokenizer_image_token(prompt, tokenizer)
+
+    tokens = generate(
+        params, config, input_ids, video_embeds, tokenizer,
+        max_new_tokens=max_new_tokens, temperature=temperature,
+    )
+    text = tokenizer.decode(list(tokens), skip_special_tokens=True)
+    text = KeywordsStoppingCriteria([conv.sep], tokenizer).trim(text)
+
+    history = list(chat_history or [])
+    history.append({"role": conv.roles[0], "content": user_prompt})
+    history.append({"role": conv.roles[1], "content": text})
+    return (text, history) if return_history else text
+
+
+# ---------------------------------------------------------------------------
 # Shared-prefix VTG scoring (prefix-KV reuse)
 # ---------------------------------------------------------------------------
 #
@@ -283,6 +390,78 @@ def score_vtg_suffix(
         suffix_labels.reshape(g * k, -1),
     )
     return flat.reshape(g, k)
+
+
+def tvg_prefix_kv(
+    params: Params,
+    config: ModelConfig,
+    prefix_ids: jax.Array,      # (G, P) left-padded text prompt through "assistant\n"[:-1]
+    prefix_mask: jax.Array,     # (G, P) — attention mask OR the CPN prior mask
+    *,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    use_pallas: Optional[bool] = None,
+):
+    """Per-caption TVG prefix K/V. For the CPN prior P(v), pass the CPN prefix
+    mask: only the instruction head stays visible (reference:
+    modeling_videochat_flash.py:414-417)."""
+    llm_lora, _ = _lora_parts(lora)
+    emb = qwen2.embed_tokens(params["llm"], prefix_ids)
+    _, kv = qwen2.forward_collect_kv(
+        params["llm"], config.llm, emb, prefix_mask,
+        lora=llm_lora, lora_scale=lora_scale, use_pallas=use_pallas,
+    )
+    return kv
+
+
+def score_tvg_shared(
+    params: Params,
+    config: ModelConfig,
+    prefix_kv,
+    prefix_mask: jax.Array,       # (G, P)
+    first_ids: jax.Array,         # (G,) last text token (suffix position 0)
+    video: jax.Array,             # (G, K, clips, tokens_per_clip, mm)
+    video_label: jax.Array,       # (G, K) vocab index of each pair's video
+    video_vocab: jax.Array,       # (V, clips, mm)
+    terminator_ids,               # static tuple of term token ids
+    position_offset: int,         # global position of suffix token 0
+    *,
+    cpn: bool = False,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+) -> jax.Array:
+    """Shared-prefix TVG likelihood/prior -> (G, K).
+
+    Suffix = [last text token | clip tokens | terminators]; hidden at suffix
+    positions 0..clips-1 predicts clips 0..clips-1 (the reference's gather
+    arithmetic, training_utils.py:72). In the CPN prior the last text token is
+    itself masked (it lies beyond tvg_prefix_length)."""
+    llm_lora, proj_lora = _lora_parts(lora)
+    g, k = video.shape[:2]
+    clips = config.num_clips
+    emb_dtype = params["llm"]["embed_tokens"]["embedding"].dtype
+
+    first = qwen2.embed_tokens(params["llm"], first_ids)[:, None, None, :]   # (G,1,1,D)
+    first = jnp.broadcast_to(first, (g, k, 1, first.shape[-1]))
+    vid = projector_lib.project_tvg(params["projector"], video, lora=proj_lora,
+                                    lora_scale=lora_scale).astype(emb_dtype)  # (G,K,clips,D)
+    term = qwen2.embed_tokens(params["llm"], jnp.asarray(list(terminator_ids), jnp.int32))
+    term = jnp.broadcast_to(term[None, None], (g, k, len(terminator_ids), term.shape[-1]))
+    suffix = jnp.concatenate([first.astype(emb_dtype), vid, term.astype(emb_dtype)], axis=2)
+
+    w = suffix.shape[2]
+    suffix_mask = jnp.ones((g, k, w), jnp.int32)
+    if cpn:
+        suffix_mask = suffix_mask.at[:, :, 0].set(0)  # last text token masked in the prior
+
+    hidden = qwen2.forward_suffix_with_prefix(
+        params["llm"], config.llm, suffix, prefix_kv, suffix_mask, position_offset,
+        prefix_mask=prefix_mask, lora=llm_lora, lora_scale=lora_scale,
+    )
+    clip_hidden = hidden[:, :, :clips].reshape(g * k, clips, -1)
+    logits = criteria.tvg_clip_logits(clip_hidden, params["visual_head"]["kernel"], video_vocab)
+    scores = criteria.tvg_likelihood(logits, video_label.reshape(-1))
+    return scores.reshape(g, k)
 
 
 def make_video_vocab(features: jax.Array) -> jax.Array:
