@@ -35,7 +35,9 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="tiny model on CPU (smoke test)")
     ap.add_argument("--queries", type=int, default=128)
     ap.add_argument("--topk", type=int, default=16)
-    ap.add_argument("--batch", type=int, default=16, help="pairs per chip per step")
+    ap.add_argument("--batch", type=int, default=16, help="pairs per chip per step (naive path)")
+    ap.add_argument("--groups", type=int, default=2, help="prefix groups per chip per step")
+    ap.add_argument("--prior-batch", type=int, default=64)
     ap.add_argument("--caption-tokens", type=int, default=32)
     ap.add_argument("--naive", action="store_true", help="disable prefix-KV sharing")
     ap.add_argument("--no-cpn", action="store_true", help="skip the CPN prior pass")
@@ -95,7 +97,10 @@ def main():
 
     mesh = make_mesh()
     n_chips = len(jax.devices())
-    engine = RerankEngine(params, cfg, layout, tvg_layout, mesh, batch_size=args.batch)
+    engine = RerankEngine(
+        params, cfg, layout, tvg_layout, mesh, batch_size=args.batch,
+        groups_per_step=args.groups, prior_batch=args.prior_batch,
+    )
 
     def run():
         return evaluation(

@@ -163,6 +163,8 @@ class RerankEngine:
         lora: Optional[Params] = None,
         lora_scale: float = 0.0,
         use_pallas: Optional[bool] = None,
+        groups_per_step: int = 2,
+        prior_batch: int = 64,
     ):
         self.config = config
         self.vtg_layout = vtg_layout
@@ -170,6 +172,9 @@ class RerankEngine:
         self.mesh = mesh
         self.n_data = mesh.shape[DATA_AXIS]
         self.batch_size = batch_size * self.n_data  # global batch
+        # shared-prefix tuning: prefix-forward batch per step / prior batch
+        self.groups_per_step = groups_per_step * self.n_data
+        self.prior_batch = prior_batch * self.n_data
         self.lora = lora
         self.lora_scale = lora_scale
         self.use_pallas = use_pallas
@@ -374,7 +379,7 @@ class RerankEngine:
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Prefix-KV-shared TVG grid: pairs grouped by caption."""
         g_cap, g_vid, g_rows, g_cols = group_pairs_by_video(rows, cols, cap_idx, vid_idx, topk)
-        G = groups_per_step or max(self.batch_size // topk, self.n_data)
+        G = groups_per_step or self.groups_per_step
         G = -(-G // self.n_data) * self.n_data
         m = len(g_cap)
         m_pad = -(-m // G) * G
@@ -387,12 +392,14 @@ class RerankEngine:
         gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
         mat = np.full(out_shape, fill, np.float32)
         pmat = np.full(out_shape, fill, np.float32) if with_prior else None
+        pending = []
         for s in range(0, m_pad, G):
             ci = jax.device_put(jnp.asarray(g_cap[s : s + G]), gs1)
             vi = jax.device_put(jnp.asarray(g_vid[s : s + G]), gs2)
-            score, prior = self._tvg_shared_step(
+            pending.append((s, self._tvg_shared_step(
                 self.params, self.lora, banks, video_vocab, ci, vi, with_prior=with_prior
-            )
+            )))
+        for s, (score, prior) in pending:
             score = np.asarray(score, np.float32)
             if with_prior:
                 prior = np.asarray(prior, np.float32)
@@ -427,7 +434,7 @@ class RerankEngine:
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Prefix-KV-shared VTG grid + (optionally) the per-caption prior."""
         g_vid, g_cap, g_rows, g_cols = group_pairs_by_video(rows, cols, vid_idx, cap_idx, topk)
-        G = groups_per_step or max(self.batch_size // topk, self.n_data)
+        G = groups_per_step or self.groups_per_step
         G = -(-G // self.n_data) * self.n_data
         m = len(g_vid)
         m_pad = -(-m // G) * G
@@ -440,13 +447,15 @@ class RerankEngine:
         group_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         group_sharding2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
         mat = np.full(out_shape, fill, np.float32)
+        # dispatch all steps asynchronously; collect device->host at the end
+        pending = []
         for s in range(0, m_pad, G):
             vi = jax.device_put(jnp.asarray(g_vid[s : s + G]), group_sharding)
             ci = jax.device_put(jnp.asarray(g_cap[s : s + G]), group_sharding2)
-            scores = np.asarray(
-                self._vtg_shared_step(self.params, self.lora, banks, prefix_ids, vi, ci),
-                np.float32,
-            )
+            out = self._vtg_shared_step(self.params, self.lora, banks, prefix_ids, vi, ci)
+            pending.append((s, out))
+        for s, out in pending:
+            scores = np.asarray(out, np.float32)
             n_real = min(G, m - s)
             for gi in range(n_real):
                 mat[g_rows[s + gi], g_cols[s + gi]] = scores[gi]
@@ -456,17 +465,18 @@ class RerankEngine:
         # per-caption prior, broadcast into the same cells
         prior_kv = self.compute_prior_kv(self.vtg_layout)
         n_caps = int(banks["suffix_ids"].shape[0])
-        B = self.batch_size
+        B = self.prior_batch
         prior = np.empty(n_caps, np.float32)
         all_caps = np.arange(n_caps, dtype=np.int32)
         padded = -(-n_caps // B) * B
         caps_padded = np.resize(all_caps, padded)
         pair_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        pending = []
         for s in range(0, padded, B):
             ci = jax.device_put(jnp.asarray(caps_padded[s : s + B]), pair_sharding)
-            out = np.asarray(
-                self._vtg_prior_step(self.params, self.lora, banks, prior_kv, ci), np.float32
-            )
+            pending.append((s, self._vtg_prior_step(self.params, self.lora, banks, prior_kv, ci)))
+        for s, out in pending:
+            out = np.asarray(out, np.float32)
             end = min(s + B, n_caps)
             prior[s:end] = out[: end - s]
         pmat = np.full(out_shape, fill, np.float32)
@@ -486,10 +496,12 @@ class RerankEngine:
         vid_idx = np.concatenate([vid_idx, np.zeros(pad, vid_idx.dtype)])
         scores = np.empty(padded, np.float32)
         priors = np.empty(padded, np.float32)
+        pending = []
         for s in range(0, padded, B):
             ci = jax.device_put(jnp.asarray(cap_idx[s : s + B]), self._pair_sharded)
             vi = jax.device_put(jnp.asarray(vid_idx[s : s + B]), self._pair_sharded)
-            sc, pr = step_fn(*step_args, ci, vi, with_prior=with_prior)
+            pending.append((s, step_fn(*step_args, ci, vi, with_prior=with_prior)))
+        for s, (sc, pr) in pending:
             scores[s : s + B] = np.asarray(sc, np.float32)
             priors[s : s + B] = np.asarray(pr, np.float32)
         return scores[:n_pairs], priors[:n_pairs]

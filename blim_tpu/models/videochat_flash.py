@@ -125,6 +125,16 @@ def tvg_hidden(
     )
 
 
+def _lm_head_parts(params: Params, lora: Optional[Params], ):
+    kernel = params["llm"]["lm_head"]["kernel"]
+    if kernel is None:
+        kernel = params["llm"]["embed_tokens"]["embedding"].T
+    llm_lora, _ = _lora_parts(lora)
+    if llm_lora is not None and "lm_head" in llm_lora:
+        return kernel, llm_lora["lm_head"]["a"], llm_lora["lm_head"]["b"]
+    return kernel, None, None
+
+
 def vtg_window_logits(
     params: Params,
     config: ModelConfig,
@@ -161,8 +171,11 @@ def score_vtg(
         params, config, batch["input_ids"], mask, batch["video"], video_start,
         lora=lora, lora_scale=lora_scale, use_pallas=use_pallas,
     )
-    logits = vtg_window_logits(params, config, hidden, window_start, window_len, lora, lora_scale)
-    return criteria.vtg_likelihood(logits, batch["window_labels"])
+    win = jax.lax.dynamic_slice_in_dim(hidden, window_start, window_len, axis=1)
+    kernel, la, lb = _lm_head_parts(params, lora)
+    return criteria.vtg_likelihood_from_hidden(
+        win, kernel, batch["window_labels"], la, lb, lora_scale
+    )
 
 
 def score_tvg(
@@ -381,15 +394,10 @@ def score_vtg_suffix(
         params["llm"], config.llm, emb, prefix_kv, suffix_mask, position_offset,
         lora=llm_lora, lora_scale=lora_scale,
     )
-    logits = qwen2.lm_logits(
-        params["llm"], hidden[:, :, :-1], config.llm, lora=llm_lora, lora_scale=lora_scale
+    kernel, la, lb = _lm_head_parts(params, lora)
+    return criteria.vtg_likelihood_from_hidden(
+        hidden[:, :, :-1], kernel, suffix_labels, la, lb, lora_scale
     )
-    g, k = suffix_ids.shape[:2]
-    flat = criteria.vtg_likelihood(
-        logits.reshape(g * k, *logits.shape[2:]),
-        suffix_labels.reshape(g * k, -1),
-    )
-    return flat.reshape(g, k)
 
 
 def tvg_prefix_kv(
