@@ -26,7 +26,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from blim_tpu.engine.rerank import CaptionBank, RerankEngine, topk_pairs
+from blim_tpu.engine.rerank import CaptionBank, RerankEngine, topk_pairs, unique_pairs
 from blim_tpu.models.videochat_flash import make_video_vocab
 
 
@@ -65,52 +65,84 @@ def evaluation(
     t2v_dict: Dict[str, np.ndarray] = {}
     v2t_dict: Dict[str, np.ndarray] = {}
 
-    def vtg_grid(rows, cols, cap_idx, vid_idx, with_prior):
-        if shared_prefix:
-            return engine.score_grid_vtg_shared(
-                vtg_banks, rows, cols, cap_idx=cap_idx, vid_idx=vid_idx,
-                out_shape=(n, n), with_prior=with_prior, topk=topk, fill=fill,
-            )
-        return engine.score_grid_vtg(
-            vtg_banks, rows, cols, cap_idx=cap_idx, vid_idx=vid_idx,
-            out_shape=(n, n), with_prior=with_prior, fill=fill,
-        )
+    # v2t grid: rows = items-as-videos, cols = candidate captions
+    v_rows, v_cols = topk_pairs(inputs.v2t_iv2, topk)
+    # t2v grid: rows = items-as-texts, cols = candidate videos
+    t_rows, t_cols = topk_pairs(inputs.t2v_iv2, topk)
+    n1 = len(v_rows)
 
-    # ---- V2T grid: rows = items-as-videos, cols = candidate captions -------
-    rows, cols = topk_pairs(inputs.v2t_iv2, topk)
-    if verbose:
-        print(f"V2T grid: {len(rows)} pairs (topk={topk})")
-    cand, cand_prior = vtg_grid(rows, cols, cap_idx=cols, vid_idx=item_vid[rows], with_prior=cpn)
-    v2t_dict["candidate_likelihood"] = cand
-    if cpn:
-        v2t_dict["candidate_prior"] = cand_prior
-    def tvg_grid(rows, cols, cap_idx, vid_idx, with_prior):
-        if shared_prefix:
-            return engine.score_grid_tvg_shared(
-                tvg_banks, video_vocab, rows, cols, cap_idx=cap_idx, vid_idx=vid_idx,
-                out_shape=(n, n), with_prior=with_prior, topk=topk, fill=fill,
-            )
-        return engine.score_grid_tvg(
-            tvg_banks, video_vocab, rows, cols, cap_idx=cap_idx, vid_idx=vid_idx,
-            out_shape=(n, n), with_prior=with_prior, fill=fill,
-        )
-
-    if has_tvg:
-        query, _ = tvg_grid(rows, cols, cap_idx=cols, vid_idx=item_vid[rows], with_prior=False)
-        v2t_dict["query_likelihood"] = query
-    v2t_dict["internvideo2"] = np.asarray(inputs.v2t_iv2, np.float32)
-
-    # ---- T2V grid: rows = items-as-texts, cols = candidate videos ----------
-    rows, cols = topk_pairs(inputs.t2v_iv2, topk)
-    if verbose:
-        print(f"T2V grid: {len(rows)} pairs (topk={topk})")
-    query, _ = vtg_grid(rows, cols, cap_idx=rows, vid_idx=item_vid[cols], with_prior=False)
-    t2v_dict["query_likelihood"] = query
-    if has_tvg:
-        cand, cand_prior = tvg_grid(rows, cols, cap_idx=rows, vid_idx=item_vid[cols], with_prior=cpn)
-        t2v_dict["candidate_likelihood"] = cand
+    if shared_prefix:
+        # Cross-grid dedup: v2t_candidate[i,j] and t2v_query[j,i] are the SAME
+        # number P(caption j | video i) — the reference scores each twice
+        # (retrieval_utils.py:218-241). Score the union of unique
+        # (caption, vocab-video) keys once and scatter into both matrices.
+        all_caps = np.concatenate([v_cols, t_rows])
+        all_vids = np.concatenate([item_vid[v_rows], item_vid[t_cols]])
+        u_cap, u_vid, inv = unique_pairs(all_caps, all_vids)
+        if verbose:
+            print(f"VTG union: {len(u_cap)} unique pairs of {len(all_caps)} "
+                  f"grid cells (topk={topk})")
+        scores = engine.score_pairs_vtg_shared(vtg_banks, u_cap, u_vid, topk)
+        cand = np.full((n, n), fill, np.float32)
+        cand[v_rows, v_cols] = scores[inv[:n1]]
+        query = np.full((n, n), fill, np.float32)
+        query[t_rows, t_cols] = scores[inv[n1:]]
+        v2t_dict["candidate_likelihood"] = cand
+        t2v_dict["query_likelihood"] = query
         if cpn:
-            t2v_dict["candidate_prior"] = cand_prior
+            prior = engine.compute_vtg_priors(vtg_banks)
+            pmat = np.full((n, n), fill, np.float32)
+            pmat[v_rows, v_cols] = prior[v_cols]
+            v2t_dict["candidate_prior"] = pmat
+
+        if has_tvg:
+            # TVG dedup: v2t_query[i,j] == t2v_candidate[j,i] == P(video i | caption j)
+            tscores, tpriors = engine.score_pairs_tvg_shared(
+                tvg_banks, video_vocab, u_cap, u_vid, topk, with_prior=cpn
+            )
+            vq = np.full((n, n), fill, np.float32)
+            vq[v_rows, v_cols] = tscores[inv[:n1]]
+            tc = np.full((n, n), fill, np.float32)
+            tc[t_rows, t_cols] = tscores[inv[n1:]]
+            v2t_dict["query_likelihood"] = vq
+            t2v_dict["candidate_likelihood"] = tc
+            if cpn:
+                tp = np.full((n, n), fill, np.float32)
+                tp[t_rows, t_cols] = tpriors[inv[n1:]]
+                t2v_dict["candidate_prior"] = tp
+    else:
+        # naive per-pair full-sequence forwards (reference-style)
+        if verbose:
+            print(f"V2T grid: {n1} pairs, T2V grid: {len(t_rows)} pairs (topk={topk})")
+        cand, cand_prior = engine.score_grid_vtg(
+            vtg_banks, v_rows, v_cols, cap_idx=v_cols, vid_idx=item_vid[v_rows],
+            out_shape=(n, n), with_prior=cpn, fill=fill,
+        )
+        v2t_dict["candidate_likelihood"] = cand
+        if cpn:
+            v2t_dict["candidate_prior"] = cand_prior
+        query, _ = engine.score_grid_vtg(
+            vtg_banks, t_rows, t_cols, cap_idx=t_rows, vid_idx=item_vid[t_cols],
+            out_shape=(n, n), with_prior=False, fill=fill,
+        )
+        t2v_dict["query_likelihood"] = query
+        if has_tvg:
+            vq, _ = engine.score_grid_tvg(
+                tvg_banks, video_vocab, v_rows, v_cols,
+                cap_idx=v_cols, vid_idx=item_vid[v_rows],
+                out_shape=(n, n), with_prior=False, fill=fill,
+            )
+            v2t_dict["query_likelihood"] = vq
+            tc, tc_prior = engine.score_grid_tvg(
+                tvg_banks, video_vocab, t_rows, t_cols,
+                cap_idx=t_rows, vid_idx=item_vid[t_cols],
+                out_shape=(n, n), with_prior=cpn, fill=fill,
+            )
+            t2v_dict["candidate_likelihood"] = tc
+            if cpn:
+                t2v_dict["candidate_prior"] = tc_prior
+
+    v2t_dict["internvideo2"] = np.asarray(inputs.v2t_iv2, np.float32)
     t2v_dict["internvideo2"] = np.asarray(inputs.t2v_iv2, np.float32)
 
     if verbose:

@@ -88,48 +88,62 @@ class CaptionBank:
         )
 
 
-def group_pairs_by_video(
-    rows: np.ndarray,
-    cols: np.ndarray,
-    pair_vid: np.ndarray,   # (n_pairs,) vocab-video index of each pair
-    pair_cap: np.ndarray,   # (n_pairs,) caption index of each pair
+def group_pairs(
+    key_idx: np.ndarray,       # (n_pairs,) group key per pair (video or caption)
+    payload_idx: np.ndarray,   # (n_pairs,) the varying index per pair
     k: int,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Chunk the pair list into groups of exactly `k` pairs sharing a video.
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Chunk the pair list into groups of exactly `k` pairs sharing a key.
 
-    Returns (group_vid (M,), cap_idx (M,k), out_rows (M,k), out_cols (M,k)).
-    Groups smaller than k are padded by repeating their first pair — the
-    duplicate scatter writes the same value to the same cell (idempotent).
-    For the v2t grid every row is exactly one group; the t2v grid's groups
-    come from inverting the topk lists (each candidate video appears in ~k
-    queries' lists)."""
-    order = np.argsort(pair_vid, kind="stable")
-    rows, cols = rows[order], cols[order]
-    pair_vid, pair_cap = pair_vid[order], pair_cap[order]
+    Returns (group_key (M,), payload (M,k), positions (M,k)) where positions
+    index the ORIGINAL pair list (padding repeats a group's first pair, whose
+    duplicate scatter is idempotent)."""
+    order = np.argsort(key_idx, kind="stable")
+    key_s, pay_s = key_idx[order], payload_idx[order]
 
-    g_vid, g_cap, g_rows, g_cols = [], [], [], []
+    g_key, g_pay, g_pos = [], [], []
     start = 0
-    n = len(pair_vid)
+    n = len(key_s)
     while start < n:
         end = start
-        while end < n and pair_vid[end] == pair_vid[start]:
+        while end < n and key_s[end] == key_s[start]:
             end += 1
         for s in range(start, end, k):
             sl = np.arange(s, min(s + k, end))
             pad = k - len(sl)
             if pad:
                 sl = np.concatenate([sl, np.full(pad, sl[0])])
-            g_vid.append(pair_vid[start])
-            g_cap.append(pair_cap[sl])
-            g_rows.append(rows[sl])
-            g_cols.append(cols[sl])
+            g_key.append(key_s[start])
+            g_pay.append(pay_s[sl])
+            g_pos.append(order[sl])
         start = end
     return (
-        np.asarray(g_vid, np.int32),
-        np.stack(g_cap).astype(np.int32),
-        np.stack(g_rows).astype(np.int32),
-        np.stack(g_cols).astype(np.int32),
+        np.asarray(g_key, np.int32),
+        np.stack(g_pay).astype(np.int32),
+        np.stack(g_pos).astype(np.int64),
     )
+
+
+def group_pairs_by_video(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    pair_vid: np.ndarray,
+    pair_cap: np.ndarray,
+    k: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Compatibility wrapper over group_pairs returning scatter rows/cols."""
+    g_vid, g_cap, g_pos = group_pairs(pair_vid, pair_cap, k)
+    return g_vid, g_cap, rows[g_pos], cols[g_pos]
+
+
+def unique_pairs(cap_idx: np.ndarray, vid_idx: np.ndarray):
+    """Dedupe (caption, video) keys. Returns (uniq_cap, uniq_vid, inverse) —
+    the same physical pair appears in both rerank directions
+    (v2t_candidate[i,j] == t2v_query[j,i], both P(caption j | video i)), and
+    the reference computes it twice (retrieval_utils.py:218-241)."""
+    keys = np.stack([cap_idx.astype(np.int64), vid_idx.astype(np.int64)], axis=1)
+    uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
+    return uniq[:, 0].astype(np.int32), uniq[:, 1].astype(np.int32), inverse
 
 
 def topk_pairs(sims: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -363,22 +377,19 @@ class RerankEngine:
         prior = run(jnp.take(banks["prefix_cpn"], cap_idx, axis=0), True)
         return score, prior
 
-    def score_grid_tvg_shared(
+    def score_pairs_tvg_shared(
         self,
         banks: Dict[str, jax.Array],
         video_vocab: jax.Array,
-        rows: np.ndarray,
-        cols: np.ndarray,
         cap_idx: np.ndarray,       # (n_pairs,) caption per pair (the group key)
         vid_idx: np.ndarray,       # (n_pairs,) vocab-video per pair
-        out_shape: Tuple[int, int],
-        with_prior: bool,
         topk: int,
-        fill: float = -100.0,
+        with_prior: bool,
         groups_per_step: Optional[int] = None,
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-        """Prefix-KV-shared TVG grid: pairs grouped by caption."""
-        g_cap, g_vid, g_rows, g_cols = group_pairs_by_video(rows, cols, cap_idx, vid_idx, topk)
+        """Shared-prefix TVG scores for a flat pair list (grouped by caption).
+        Returns (scores (n,), priors (n,) | None) in input order."""
+        g_cap, g_vid, g_pos = group_pairs(cap_idx, vid_idx, topk)
         G = groups_per_step or self.groups_per_step
         G = -(-G // self.n_data) * self.n_data
         m = len(g_cap)
@@ -390,8 +401,8 @@ class RerankEngine:
 
         gs1 = NamedSharding(self.mesh, P(DATA_AXIS))
         gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
-        mat = np.full(out_shape, fill, np.float32)
-        pmat = np.full(out_shape, fill, np.float32) if with_prior else None
+        scores = np.empty(len(cap_idx), np.float32)
+        priors = np.empty(len(cap_idx), np.float32) if with_prior else None
         pending = []
         for s in range(0, m_pad, G):
             ci = jax.device_put(jnp.asarray(g_cap[s : s + G]), gs1)
@@ -405,9 +416,34 @@ class RerankEngine:
                 prior = np.asarray(prior, np.float32)
             n_real = min(G, m - s)
             for gi in range(n_real):
-                mat[g_rows[s + gi], g_cols[s + gi]] = score[gi]
+                scores[g_pos[s + gi]] = score[gi]
                 if with_prior:
-                    pmat[g_rows[s + gi], g_cols[s + gi]] = prior[gi]
+                    priors[g_pos[s + gi]] = prior[gi]
+        return scores, priors
+
+    def score_grid_tvg_shared(
+        self,
+        banks: Dict[str, jax.Array],
+        video_vocab: jax.Array,
+        rows: np.ndarray,
+        cols: np.ndarray,
+        cap_idx: np.ndarray,
+        vid_idx: np.ndarray,
+        out_shape: Tuple[int, int],
+        with_prior: bool,
+        topk: int,
+        fill: float = -100.0,
+        groups_per_step: Optional[int] = None,
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        scores, priors = self.score_pairs_tvg_shared(
+            banks, video_vocab, cap_idx, vid_idx, topk, with_prior, groups_per_step
+        )
+        mat = np.full(out_shape, fill, np.float32)
+        mat[rows, cols] = scores
+        if not with_prior:
+            return mat, None
+        pmat = np.full(out_shape, fill, np.float32)
+        pmat[rows, cols] = priors
         return mat, pmat
 
     def compute_prior_kv(self, layout: VTGLayout):
@@ -418,6 +454,66 @@ class RerankEngine:
                 lora=self.lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
             )
         )(self.params, prefix_ids=jnp.asarray(ids)[None], position_ids=jnp.asarray(pos)[None])
+
+    def score_pairs_vtg_shared(
+        self,
+        banks: Dict[str, jax.Array],
+        cap_idx: np.ndarray,
+        vid_idx: np.ndarray,
+        topk: int,
+        groups_per_step: Optional[int] = None,
+    ) -> np.ndarray:
+        """Shared-prefix VTG scores for a flat pair list (grouped by video).
+        Returns scores (n,) in input order."""
+        g_vid, g_cap, g_pos = group_pairs(vid_idx, cap_idx, topk)
+        G = groups_per_step or self.groups_per_step
+        G = -(-G // self.n_data) * self.n_data
+        m = len(g_vid)
+        m_pad = -(-m // G) * G
+        pad = m_pad - m
+        if pad:
+            g_vid = np.concatenate([g_vid, np.repeat(g_vid[:1], pad)])
+            g_cap = np.concatenate([g_cap, np.repeat(g_cap[:1], pad, axis=0)])
+
+        prefix_ids = jnp.asarray(self.vtg_layout.prefix_token_ids())
+        gs1 = NamedSharding(self.mesh, P(DATA_AXIS))
+        gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        scores = np.empty(len(cap_idx), np.float32)
+        # dispatch all steps asynchronously; collect device->host at the end
+        pending = []
+        for s in range(0, m_pad, G):
+            vi = jax.device_put(jnp.asarray(g_vid[s : s + G]), gs1)
+            ci = jax.device_put(jnp.asarray(g_cap[s : s + G]), gs2)
+            pending.append((s, self._vtg_shared_step(
+                self.params, self.lora, banks, prefix_ids, vi, ci
+            )))
+        for s, out in pending:
+            out = np.asarray(out, np.float32)
+            n_real = min(G, m - s)
+            for gi in range(n_real):
+                scores[g_pos[s + gi]] = out[gi]
+        return scores
+
+    def compute_vtg_priors(self, banks: Dict[str, jax.Array]) -> np.ndarray:
+        """CPN prior P(t) for EVERY caption in the bank — the prior is
+        video-independent, one forward per caption over the dataset-constant
+        text prefix. Returns (n_captions,)."""
+        prior_kv = self.compute_prior_kv(self.vtg_layout)
+        n_caps = int(banks["suffix_ids"].shape[0])
+        B = self.prior_batch
+        prior = np.empty(n_caps, np.float32)
+        padded = -(-n_caps // B) * B
+        caps_padded = np.resize(np.arange(n_caps, dtype=np.int32), padded)
+        pair_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        pending = []
+        for s in range(0, padded, B):
+            ci = jax.device_put(jnp.asarray(caps_padded[s : s + B]), pair_sharding)
+            pending.append((s, self._vtg_prior_step(self.params, self.lora, banks, prior_kv, ci)))
+        for s, out in pending:
+            out = np.asarray(out, np.float32)
+            end = min(s + B, n_caps)
+            prior[s:end] = out[: end - s]
+        return prior
 
     def score_grid_vtg_shared(
         self,
@@ -433,52 +529,12 @@ class RerankEngine:
         groups_per_step: Optional[int] = None,
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Prefix-KV-shared VTG grid + (optionally) the per-caption prior."""
-        g_vid, g_cap, g_rows, g_cols = group_pairs_by_video(rows, cols, vid_idx, cap_idx, topk)
-        G = groups_per_step or self.groups_per_step
-        G = -(-G // self.n_data) * self.n_data
-        m = len(g_vid)
-        m_pad = -(-m // G) * G
-        pad = m_pad - m
-        if pad:
-            g_vid = np.concatenate([g_vid, np.repeat(g_vid[:1], pad)])
-            g_cap = np.concatenate([g_cap, np.repeat(g_cap[:1], pad, axis=0)])
-
-        prefix_ids = jnp.asarray(self.vtg_layout.prefix_token_ids())
-        group_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
-        group_sharding2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        scores = self.score_pairs_vtg_shared(banks, cap_idx, vid_idx, topk, groups_per_step)
         mat = np.full(out_shape, fill, np.float32)
-        # dispatch all steps asynchronously; collect device->host at the end
-        pending = []
-        for s in range(0, m_pad, G):
-            vi = jax.device_put(jnp.asarray(g_vid[s : s + G]), group_sharding)
-            ci = jax.device_put(jnp.asarray(g_cap[s : s + G]), group_sharding2)
-            out = self._vtg_shared_step(self.params, self.lora, banks, prefix_ids, vi, ci)
-            pending.append((s, out))
-        for s, out in pending:
-            scores = np.asarray(out, np.float32)
-            n_real = min(G, m - s)
-            for gi in range(n_real):
-                mat[g_rows[s + gi], g_cols[s + gi]] = scores[gi]
-
+        mat[rows, cols] = scores
         if not with_prior:
             return mat, None
-        # per-caption prior, broadcast into the same cells
-        prior_kv = self.compute_prior_kv(self.vtg_layout)
-        n_caps = int(banks["suffix_ids"].shape[0])
-        B = self.prior_batch
-        prior = np.empty(n_caps, np.float32)
-        all_caps = np.arange(n_caps, dtype=np.int32)
-        padded = -(-n_caps // B) * B
-        caps_padded = np.resize(all_caps, padded)
-        pair_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
-        pending = []
-        for s in range(0, padded, B):
-            ci = jax.device_put(jnp.asarray(caps_padded[s : s + B]), pair_sharding)
-            pending.append((s, self._vtg_prior_step(self.params, self.lora, banks, prior_kv, ci)))
-        for s, out in pending:
-            out = np.asarray(out, np.float32)
-            end = min(s + B, n_caps)
-            prior[s:end] = out[: end - s]
+        prior = self.compute_vtg_priors(banks)
         pmat = np.full(out_shape, fill, np.float32)
         pmat[rows, cols] = prior[cap_idx]  # prior depends only on the caption
         return mat, pmat
