@@ -54,6 +54,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeated bench runs (driver rounds) skip the
+    # multi-minute remote compiles
+    try:
+        import os
+
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
+
     from blim_tpu.core.config import ModelConfig, tiny_model_config
     from blim_tpu.core.mesh import make_mesh
     from blim_tpu.data.prompts import make_tvg_layout, make_vtg_layout

@@ -243,12 +243,18 @@ class RerankEngine:
     # -- device-resident banks ------------------------------------------------
 
     def upload(self, bank: CaptionBank, features: np.ndarray) -> Dict[str, jax.Array]:
-        """Put a caption bank + the video feature bank into (replicated) HBM."""
+        """Put a caption bank + the video feature bank into (replicated) HBM.
+        Features are stored at the model's compute dtype (bf16 on TPU) — they
+        are cached as fp16 on disk anyway, and fp32 residency doubles the HBM
+        cost of large vocabularies."""
+        feat_dtype = self.params["llm"]["embed_tokens"]["embedding"].dtype
+        if not jnp.issubdtype(feat_dtype, jnp.floating):
+            feat_dtype = jnp.float32
         dev = {
             "ids": jax.device_put(jnp.asarray(bank.input_ids), self._replicated),
             "attn": jax.device_put(jnp.asarray(bank.attention_mask), self._replicated),
             "cpn": jax.device_put(jnp.asarray(bank.cpn_mask), self._replicated),
-            "feats": jax.device_put(jnp.asarray(features), self._replicated),
+            "feats": jax.device_put(jnp.asarray(features, feat_dtype), self._replicated),
         }
         if bank.window_labels is not None:
             dev["labels"] = jax.device_put(jnp.asarray(bank.window_labels), self._replicated)
@@ -390,19 +396,21 @@ class RerankEngine:
         """Shared-prefix TVG scores for a flat pair list (grouped by caption).
         Returns (scores (n,), priors (n,) | None) in input order."""
         g_cap, g_vid, g_pos = group_pairs(cap_idx, vid_idx, topk)
+        lo, hi = self._process_shard(len(g_cap))
+        g_cap, g_vid, g_pos = g_cap[lo:hi], g_vid[lo:hi], g_pos[lo:hi]
         G = groups_per_step or self.groups_per_step
         G = -(-G // self.n_data) * self.n_data
         m = len(g_cap)
         m_pad = -(-m // G) * G
         pad = m_pad - m
-        if pad:
+        if pad and m:
             g_cap = np.concatenate([g_cap, np.repeat(g_cap[:1], pad)])
             g_vid = np.concatenate([g_vid, np.repeat(g_vid[:1], pad, axis=0)])
 
         gs1 = NamedSharding(self.mesh, P(DATA_AXIS))
         gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
-        scores = np.empty(len(cap_idx), np.float32)
-        priors = np.empty(len(cap_idx), np.float32) if with_prior else None
+        scores = np.zeros(len(cap_idx), np.float32)
+        priors = np.zeros(len(cap_idx), np.float32) if with_prior else None
         pending = []
         for s in range(0, m_pad, G):
             ci = jax.device_put(jnp.asarray(g_cap[s : s + G]), gs1)
@@ -419,6 +427,9 @@ class RerankEngine:
                 scores[g_pos[s + gi]] = score[gi]
                 if with_prior:
                     priors[g_pos[s + gi]] = prior[gi]
+        scores = self._allreduce_scores(scores)
+        if with_prior:
+            priors = self._allreduce_scores(priors)
         return scores, priors
 
     def score_grid_tvg_shared(
@@ -455,6 +466,31 @@ class RerankEngine:
             )
         )(self.params, prefix_ids=jnp.asarray(ids)[None], position_ids=jnp.asarray(pos)[None])
 
+    def _process_shard(self, n_groups: int) -> Tuple[int, int]:
+        """Contiguous group range for this host — the multi-host analogue of
+        the reference's rank row-sharding (retrieval_utils.py:213-215).
+        Single-process runs own everything."""
+        import jax as _jax
+
+        if _jax.process_count() == 1:
+            return 0, n_groups
+        from blim_tpu.core.mesh import process_shard_bounds
+
+        return process_shard_bounds(n_groups, _jax.process_count(), _jax.process_index())
+
+    @staticmethod
+    def _allreduce_scores(scores: np.ndarray) -> np.ndarray:
+        """Sum partial score vectors across hosts (each host fills its shard,
+        others contribute zeros) — replaces the reference's NCCL all_reduce of
+        -100-offset matrices with an explicit masked merge."""
+        import jax as _jax
+
+        if _jax.process_count() == 1:
+            return scores
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(scores)).sum(axis=0)
+
     def score_pairs_vtg_shared(
         self,
         banks: Dict[str, jax.Array],
@@ -466,19 +502,21 @@ class RerankEngine:
         """Shared-prefix VTG scores for a flat pair list (grouped by video).
         Returns scores (n,) in input order."""
         g_vid, g_cap, g_pos = group_pairs(vid_idx, cap_idx, topk)
+        lo, hi = self._process_shard(len(g_vid))
+        g_vid, g_cap, g_pos = g_vid[lo:hi], g_cap[lo:hi], g_pos[lo:hi]
         G = groups_per_step or self.groups_per_step
         G = -(-G // self.n_data) * self.n_data
         m = len(g_vid)
         m_pad = -(-m // G) * G
         pad = m_pad - m
-        if pad:
+        if pad and m:
             g_vid = np.concatenate([g_vid, np.repeat(g_vid[:1], pad)])
             g_cap = np.concatenate([g_cap, np.repeat(g_cap[:1], pad, axis=0)])
 
         prefix_ids = jnp.asarray(self.vtg_layout.prefix_token_ids())
         gs1 = NamedSharding(self.mesh, P(DATA_AXIS))
         gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
-        scores = np.empty(len(cap_idx), np.float32)
+        scores = np.zeros(len(cap_idx), np.float32)
         # dispatch all steps asynchronously; collect device->host at the end
         pending = []
         for s in range(0, m_pad, G):
@@ -492,7 +530,7 @@ class RerankEngine:
             n_real = min(G, m - s)
             for gi in range(n_real):
                 scores[g_pos[s + gi]] = out[gi]
-        return scores
+        return self._allreduce_scores(scores)
 
     def compute_vtg_priors(self, banks: Dict[str, jax.Array]) -> np.ndarray:
         """CPN prior P(t) for EVERY caption in the bank — the prior is

@@ -200,6 +200,35 @@ def patch_embed(params: Params, pixels: jax.Array, config: VisionConfig) -> jax.
     return x @ kernel + params["patch_embed"]["bias"]
 
 
+def vit_block(
+    bp: Params,
+    x: jax.Array,               # (B, N, D)
+    config: VisionConfig,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """One pre-norm ViT block: LN -> packed-QKV attention (q/v biases, zero k
+    bias, reference: vision_tower_builder.py:99-126) -> proj -> LN -> GELU MLP."""
+    c = config
+    H = c.num_attention_heads
+    D = c.hidden_size
+    hd = D // H
+    y = _layer_norm(x, bp["norm1"]["scale"], bp["norm1"]["bias"], c.layer_norm_eps)
+    qkv_bias = jnp.concatenate([bp["q_bias"], jnp.zeros_like(bp["q_bias"]), bp["v_bias"]])
+    qkv = y @ bp["qkv"]["kernel"] + qkv_bias
+    b, n, _ = qkv.shape
+    qkv = qkv.reshape(b, n, 3, H, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    attn = multi_head_attention(
+        q, k, v, causal=False, scale=hd ** -0.5, use_pallas=use_pallas
+    )
+    attn = attn.reshape(b, n, D) @ bp["proj"]["kernel"] + bp["proj"]["bias"]
+    x = x + attn
+    y = _layer_norm(x, bp["norm2"]["scale"], bp["norm2"]["bias"], c.layer_norm_eps)
+    y = jax.nn.gelu(y @ bp["fc1"]["kernel"] + bp["fc1"]["bias"], approximate=False)
+    y = y @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
+    return x + y
+
+
 def forward_features(
     params: Params,
     pixels: jax.Array,          # (B, C, T, H, W)
@@ -212,26 +241,9 @@ def forward_features(
     c = config
     x = patch_embed(params, pixels, c)
     x = x + pos_table.astype(x.dtype)
-    H = c.num_attention_heads
-    D = c.hidden_size
-    hd = D // H
 
     def block(x, bp):
-        y = _layer_norm(x, bp["norm1"]["scale"], bp["norm1"]["bias"], c.layer_norm_eps)
-        qkv_bias = jnp.concatenate([bp["q_bias"], jnp.zeros_like(bp["q_bias"]), bp["v_bias"]])
-        qkv = y @ bp["qkv"]["kernel"] + qkv_bias
-        b, n, _ = qkv.shape
-        qkv = qkv.reshape(b, n, 3, H, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = multi_head_attention(
-            q, k, v, causal=False, scale=hd ** -0.5, use_pallas=use_pallas
-        )
-        attn = attn.reshape(b, n, D) @ bp["proj"]["kernel"] + bp["proj"]["bias"]
-        x = x + attn
-        y = _layer_norm(x, bp["norm2"]["scale"], bp["norm2"]["bias"], c.layer_norm_eps)
-        y = jax.nn.gelu(y @ bp["fc1"]["kernel"] + bp["fc1"]["bias"], approximate=False)
-        y = y @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
-        return x + y, None
+        return vit_block(bp, x, c, use_pallas), None
 
     x, _ = jax.lax.scan(block, x, params["blocks"])
     return _layer_norm(

@@ -49,7 +49,10 @@ def get_args_parser():
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--resume", default="", help="resume from checkpoint")
     parser.add_argument("--start_epoch", default=0, type=int)
-    parser.add_argument("--max_caption_tokens", default=96, type=int)
+    parser.add_argument("--max_caption_tokens", default=0, type=int,
+                        help="caption token budget; 0 = per-dataset default "
+                             "(MSRVTT/LSMDC 96, DiDeMo 160, ActivityNet 256 — "
+                             "paragraph captions need headroom)")
 
     parser.add_argument("--lora_r", type=int, default=8)
     parser.add_argument("--lora_alpha", type=int, default=32)
@@ -61,6 +64,9 @@ def get_args_parser():
     parser.add_argument("--alpha", nargs="+", type=float, default=[0.0, 0.0])
     parser.add_argument("--c", nargs="+", type=float, default=[0.0, 0.0, 0.0, 0.0])
 
+    parser.add_argument("--preset", action="store_true",
+                        help="apply the dataset's published hyperparameters "
+                             "(reference README configs)")
     parser.add_argument("--mesh_model", type=int, default=1, help="tensor-parallel axis size")
     parser.add_argument("--tiny", action="store_true", help="tiny random model (smoke tests)")
     parser.add_argument("--profile_dir", default=None, help="jax.profiler trace dir")
@@ -85,6 +91,11 @@ def main(args):
     from blim_tpu.models import videochat_flash as vcf
     from blim_tpu.utils import distributed as dist
     from blim_tpu.utils.profiling import trace
+
+    if getattr(args, "preset", False):
+        from blim_tpu.pipelines.configs import apply_preset
+
+        apply_preset(args, zeroshot=args.eval and not args.resume)
 
     dist.init_distributed_mode()
     print(f"job dir: {os.path.dirname(os.path.realpath(__file__))}")
@@ -136,10 +147,13 @@ def main(args):
     if not args.eval:
         dataset_train = load_dataset(args.dataset, args.data_root, "train", feature_shape)
 
+    cap_budget = args.max_caption_tokens or {
+        "MSRVTT": 96, "LSMDC": 96, "DiDeMo": 160, "ActivityNet": 256
+    }[args.dataset]
     vtg_layout = make_vtg_layout(
-        tokenizer, args.dataset, config.video_tokens_vtg, args.max_caption_tokens
+        tokenizer, args.dataset, config.video_tokens_vtg, cap_budget
     )
-    tvg_layout = make_tvg_layout(tokenizer, config.num_clips, args.max_caption_tokens)
+    tvg_layout = make_tvg_layout(tokenizer, config.num_clips, cap_budget)
 
     mesh = make_mesh(model=args.mesh_model)
 
