@@ -58,14 +58,28 @@ class CaptionBank:
         cs = layout.caption_start
         sw = layout.suffix_width
         labels = np.stack([e["labels"][cs : cs + wl] for e in encs])
+        from blim_tpu.core.constants import IGNORE_INDEX
+
+        # suffix width aligned to 8 for the Pallas prefix-attention kernel
+        sw8 = -(-sw // 8) * 8
+        pad = sw8 - sw
+
+        def padded(key, fill):
+            arr = np.stack([e[key][cs - 1 : cs - 1 + sw] for e in encs])
+            return np.pad(arr, ((0, 0), (0, pad)), constant_values=fill)
+
+        suffix_labels = np.stack([e["labels"][cs : cs + sw - 1] for e in encs])
+        suffix_labels = np.pad(
+            suffix_labels, ((0, 0), (0, pad)), constant_values=IGNORE_INDEX
+        )
         return cls(
             input_ids=np.stack([e["input_ids"] for e in encs]),
             attention_mask=np.stack([e["attention_mask"] for e in encs]),
             cpn_mask=np.stack([e["cpn_mask"] for e in encs]),
             window_labels=labels,
-            suffix_ids=np.stack([e["input_ids"][cs - 1 : cs - 1 + sw] for e in encs]),
-            suffix_mask=np.stack([e["attention_mask"][cs - 1 : cs - 1 + sw] for e in encs]),
-            suffix_labels=np.stack([e["labels"][cs : cs + sw - 1] for e in encs]),
+            suffix_ids=padded("input_ids", 0),
+            suffix_mask=padded("attention_mask", 0),
+            suffix_labels=suffix_labels,
         )
 
     prefix_ids: Optional[np.ndarray] = None     # (N, P) — TVG shared-prefix path
@@ -77,13 +91,21 @@ class CaptionBank:
     def build_tvg(cls, captions, tokenizer, layout: TVGLayout) -> "CaptionBank":
         encs = [layout.encode_caption(c, tokenizer) for c in captions]
         P = layout.prefix_len
+        # prefix aligned to 128 (trailing masked pads) for the Pallas kernel;
+        # pad positions sit past position_offset but are never visible as keys
+        pad = -(-P // 128) * 128 - P
+
+        def padded(key, fill):
+            arr = np.stack([e[key][:P] for e in encs])
+            return np.pad(arr, ((0, 0), (0, pad)), constant_values=fill)
+
         return cls(
             input_ids=np.stack([e["input_ids"] for e in encs]),
             attention_mask=np.stack([e["attention_mask"] for e in encs]),
             cpn_mask=np.stack([e["cpn_mask"] for e in encs]),
-            prefix_ids=np.stack([e["input_ids"][:P] for e in encs]),
-            prefix_mask=np.stack([e["attention_mask"][:P] for e in encs]),
-            prefix_cpn=np.stack([e["cpn_mask"][:P] for e in encs]),
+            prefix_ids=padded("input_ids", 0),
+            prefix_mask=padded("attention_mask", 0),
+            prefix_cpn=padded("cpn_mask", 0),
             first_ids=np.asarray([e["input_ids"][P] for e in encs], np.int32),
         )
 
@@ -318,7 +340,7 @@ class RerankEngine:
         return score, prior
 
     def _vtg_shared_step_impl(
-        self, params, lora, banks, prefix_ids, vid_idx, cap_idx,
+        self, params, lora, banks, prefix_ids, prefix_mask, vid_idx, cap_idx,
         *, video_start: int, position_offset: int,
     ):
         """Shared-prefix scoring: prefix KV once per video (G videos), then
@@ -326,8 +348,9 @@ class RerankEngine:
         video = jnp.take(banks["feats"], vid_idx, axis=0)
         g, k = cap_idx.shape
         prefix = jnp.broadcast_to(prefix_ids[None], (g, prefix_ids.shape[0]))
+        pmask = jnp.broadcast_to(prefix_mask[None], prefix.shape)
         kv = vcf.vtg_prefix_hidden_kv(
-            params, self.config, prefix, video, video_start,
+            params, self.config, prefix, video, video_start, prefix_mask=pmask,
             lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
         )
         flat = cap_idx.reshape(-1)
@@ -336,11 +359,11 @@ class RerankEngine:
         suf_labels = jnp.take(banks["suffix_labels"], flat, axis=0).reshape(g, k, -1)
         return vcf.score_vtg_suffix(
             params, self.config, kv, suf_ids, suf_mask, suf_labels,
-            position_offset, lora=lora, lora_scale=self.lora_scale,
+            position_offset, prefix_mask=pmask, lora=lora, lora_scale=self.lora_scale,
         )
 
     def _vtg_prior_step_impl(
-        self, params, lora, banks, prior_kv, cap_idx, *, position_offset: int
+        self, params, lora, banks, prior_kv, prior_mask, cap_idx, *, position_offset: int
     ):
         """CPN prior P(t) per caption over the constant text-only prefix.
         cap_idx (B,) -> scores (B,)."""
@@ -349,7 +372,7 @@ class RerankEngine:
         suf_labels = jnp.take(banks["suffix_labels"], cap_idx, axis=0)[None]
         scores = vcf.score_vtg_suffix(
             params, self.config, prior_kv, suf_ids, suf_mask, suf_labels,
-            position_offset, lora=lora, lora_scale=self.lora_scale,
+            position_offset, prefix_mask=prior_mask, lora=lora, lora_scale=self.lora_scale,
         )
         return scores[0]
 
@@ -457,14 +480,32 @@ class RerankEngine:
         pmat[rows, cols] = priors
         return mat, pmat
 
+    def _vtg_prefix_arrays(self):
+        """(padded prefix ids, prefix mask) aligned to 128 for the kernel."""
+        ids = self.vtg_layout.prefix_token_ids()
+        pad = -(-len(ids) // 128) * 128 - len(ids)
+        mask = np.concatenate([np.ones(len(ids), np.int32), np.zeros(pad, np.int32)])
+        ids = np.concatenate([ids, np.zeros(pad, np.int32)])
+        return jnp.asarray(ids), jnp.asarray(mask)
+
     def compute_prior_kv(self, layout: VTGLayout):
+        """(prior prefix KV, prior prefix mask) — padded to 128."""
         ids, pos = layout.prior_prefix()
-        return jax.jit(
+        pad = -(-len(ids) // 128) * 128 - len(ids)
+        mask = np.concatenate([np.ones(len(ids), np.int32), np.zeros(pad, np.int32)])
+        ids = np.concatenate([ids, np.zeros(pad, np.int32)])
+        pos = np.concatenate([pos, np.zeros(pad, np.int32)])
+        kv = jax.jit(
             functools.partial(
                 vcf.vtg_text_prefix_kv, config=self.config,
                 lora=self.lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
             )
-        )(self.params, prefix_ids=jnp.asarray(ids)[None], position_ids=jnp.asarray(pos)[None])
+        )(
+            self.params, prefix_ids=jnp.asarray(ids)[None],
+            position_ids=jnp.asarray(pos)[None],
+            prefix_mask=jnp.asarray(mask)[None],
+        )
+        return kv, jnp.asarray(mask)[None]
 
     def _process_shard(self, n_groups: int) -> Tuple[int, int]:
         """Contiguous group range for this host — the multi-host analogue of
@@ -513,7 +554,7 @@ class RerankEngine:
             g_vid = np.concatenate([g_vid, np.repeat(g_vid[:1], pad)])
             g_cap = np.concatenate([g_cap, np.repeat(g_cap[:1], pad, axis=0)])
 
-        prefix_ids = jnp.asarray(self.vtg_layout.prefix_token_ids())
+        prefix_ids, prefix_mask = self._vtg_prefix_arrays()
         gs1 = NamedSharding(self.mesh, P(DATA_AXIS))
         gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
         scores = np.zeros(len(cap_idx), np.float32)
@@ -523,7 +564,7 @@ class RerankEngine:
             vi = jax.device_put(jnp.asarray(g_vid[s : s + G]), gs1)
             ci = jax.device_put(jnp.asarray(g_cap[s : s + G]), gs2)
             pending.append((s, self._vtg_shared_step(
-                self.params, self.lora, banks, prefix_ids, vi, ci
+                self.params, self.lora, banks, prefix_ids, prefix_mask, vi, ci
             )))
         for s, out in pending:
             out = np.asarray(out, np.float32)
@@ -536,7 +577,7 @@ class RerankEngine:
         """CPN prior P(t) for EVERY caption in the bank — the prior is
         video-independent, one forward per caption over the dataset-constant
         text prefix. Returns (n_captions,)."""
-        prior_kv = self.compute_prior_kv(self.vtg_layout)
+        prior_kv, prior_mask = self.compute_prior_kv(self.vtg_layout)
         n_caps = int(banks["suffix_ids"].shape[0])
         B = self.prior_batch
         prior = np.empty(n_caps, np.float32)
@@ -546,7 +587,9 @@ class RerankEngine:
         pending = []
         for s in range(0, padded, B):
             ci = jax.device_put(jnp.asarray(caps_padded[s : s + B]), pair_sharding)
-            pending.append((s, self._vtg_prior_step(self.params, self.lora, banks, prior_kv, ci)))
+            pending.append((s, self._vtg_prior_step(
+                self.params, self.lora, banks, prior_kv, prior_mask, ci
+            )))
         for s, out in pending:
             out = np.asarray(out, np.float32)
             end = min(s + B, n_caps)

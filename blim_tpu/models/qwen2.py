@@ -361,8 +361,10 @@ def forward_suffix_with_prefix(
         k = apply_dense(lp["k_proj"], x, lo("k_proj"), lora_scale).reshape(G, K, W, Kh, hd)
         v = apply_dense(lp["v_proj"], x, lo("v_proj"), lora_scale).reshape(G, K, W, Kh, hd)
         q, k = rope4(q), rope4(k)
-        attn = _grouped_prefix_attention(
-            q, k, v, kv_k, kv_v, suffix_mask, hd ** -0.5, prefix_mask=prefix_mask
+        from blim_tpu.kernels.prefix_attention import prefix_attention
+
+        attn = prefix_attention(
+            q, k, v, kv_k, kv_v, suffix_mask, prefix_mask, hd ** -0.5,
         )
         attn = apply_dense(lp["o_proj"], attn.reshape(G, K, W, H * hd), lo("o_proj"), lora_scale)
         hidden = hidden + attn

@@ -332,21 +332,23 @@ def vtg_prefix_hidden_kv(
     video: jax.Array,           # (G, clips, tokens_per_clip, mm)
     video_start: int,
     position_ids: Optional[jax.Array] = None,
+    prefix_mask: Optional[jax.Array] = None,   # (G, P); None = all real
     *,
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
     use_pallas: Optional[bool] = None,
 ):
-    """Prefix forward returning per-layer K/V. Prefix tokens are all real
-    (no padding), so the mask is all-ones."""
+    """Prefix forward returning per-layer K/V. The prefix may carry trailing
+    alignment pads (mask 0) so the suffix kernel tiles onto the MXU."""
     llm_lora, proj_lora = _lora_parts(lora)
     vid = projector_lib.project_vtg(params["projector"], video, lora=proj_lora,
                                     lora_scale=lora_scale)
     emb = qwen2.embed_tokens(params["llm"], prefix_ids)
     emb = splice_video(emb, vid, video_start)
-    mask = jnp.ones(prefix_ids.shape, jnp.int32)
+    if prefix_mask is None:
+        prefix_mask = jnp.ones(prefix_ids.shape, jnp.int32)
     _, kv = qwen2.forward_collect_kv(
-        params["llm"], config.llm, emb, mask, position_ids,
+        params["llm"], config.llm, emb, prefix_mask, position_ids,
         lora=llm_lora, lora_scale=lora_scale, use_pallas=use_pallas,
     )
     return kv
@@ -357,6 +359,7 @@ def vtg_text_prefix_kv(
     config: ModelConfig,
     prefix_ids: jax.Array,      # (1, P2) text-only prefix (pre + post[:-1])
     position_ids: jax.Array,    # (1, P2) original layout positions (gap at video)
+    prefix_mask: Optional[jax.Array] = None,
     *,
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
@@ -366,9 +369,10 @@ def vtg_text_prefix_kv(
     prefix is pure text at its original (gapped) positions."""
     llm_lora, _ = _lora_parts(lora)
     emb = qwen2.embed_tokens(params["llm"], prefix_ids)
-    mask = jnp.ones(prefix_ids.shape, jnp.int32)
+    if prefix_mask is None:
+        prefix_mask = jnp.ones(prefix_ids.shape, jnp.int32)
     _, kv = qwen2.forward_collect_kv(
-        params["llm"], config.llm, emb, mask, position_ids,
+        params["llm"], config.llm, emb, prefix_mask, position_ids,
         lora=llm_lora, lora_scale=lora_scale, use_pallas=use_pallas,
     )
     return kv
@@ -384,6 +388,7 @@ def score_vtg_suffix(
                                 # token i+1 (IGNORE on pads/terminator overrun)
     position_offset: int,
     *,
+    prefix_mask: Optional[jax.Array] = None,
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
 ) -> jax.Array:
@@ -392,7 +397,7 @@ def score_vtg_suffix(
     emb = qwen2.embed_tokens(params["llm"], suffix_ids)
     hidden = qwen2.forward_suffix_with_prefix(
         params["llm"], config.llm, emb, prefix_kv, suffix_mask, position_offset,
-        lora=llm_lora, lora_scale=lora_scale,
+        prefix_mask=prefix_mask, lora=llm_lora, lora_scale=lora_scale,
     )
     kernel, la, lb = _lm_head_parts(params, lora)
     return criteria.vtg_likelihood_from_hidden(
@@ -458,9 +463,14 @@ def score_tvg_shared(
     suffix = jnp.concatenate([first.astype(emb_dtype), vid, term.astype(emb_dtype)], axis=2)
 
     w = suffix.shape[2]
+    w_pad = -(-w // 8) * 8 - w  # align for the Pallas suffix kernel
+    if w_pad:
+        suffix = jnp.pad(suffix, ((0, 0), (0, 0), (0, w_pad), (0, 0)))
     suffix_mask = jnp.ones((g, k, w), jnp.int32)
     if cpn:
         suffix_mask = suffix_mask.at[:, :, 0].set(0)  # last text token masked in the prior
+    if w_pad:
+        suffix_mask = jnp.pad(suffix_mask, ((0, 0), (0, 0), (0, w_pad)))
 
     hidden = qwen2.forward_suffix_with_prefix(
         params["llm"], config.llm, suffix, prefix_kv, suffix_mask, position_offset,
