@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--no-cpn", action="store_true", help="skip the CPN prior pass")
     ap.add_argument("--finetuned", action="store_true",
                     help="fine-tuned-mode eval: all 6 matrices incl. TVG directions")
+    ap.add_argument("--trials", type=int, default=2,
+                    help="measured trials; best is reported (host/tunnel "
+                         "contention adds large run-to-run variance)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -129,9 +132,11 @@ def main():
     evaluation(engine, warm, tok, dataset, topk=args.topk, cpn=not args.no_cpn,
                has_tvg=args.finetuned, verbose=False, shared_prefix=not args.naive)
 
-    t0 = time.perf_counter()
-    t2v, v2t = run()
-    elapsed = time.perf_counter() - t0
+    elapsed = float("inf")
+    for _ in range(max(args.trials, 1)):
+        t0 = time.perf_counter()
+        t2v, v2t = run()
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     for name, m in [("t2v.query", t2v["query_likelihood"]), ("v2t.cand", v2t["candidate_likelihood"])]:
         cells = m[m > -100.0]

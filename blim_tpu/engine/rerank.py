@@ -38,6 +38,12 @@ from blim_tpu.models import videochat_flash as vcf
 
 Params = Dict[str, Any]
 
+# Alignment multiples for the shared-prefix arrays. 1 = exact sizes (fastest
+# with the default XLA attention path); set 128/8 when enabling the Pallas
+# prefix-attention kernel, whose tiles need them.
+PREFIX_ALIGN = 1
+SUFFIX_ALIGN = 1
+
 
 @dataclasses.dataclass
 class CaptionBank:
@@ -60,8 +66,9 @@ class CaptionBank:
         labels = np.stack([e["labels"][cs : cs + wl] for e in encs])
         from blim_tpu.core.constants import IGNORE_INDEX
 
-        # suffix width aligned to 8 for the Pallas prefix-attention kernel
-        sw8 = -(-sw // 8) * 8
+        # suffix alignment only matters for the opt-in Pallas prefix kernel;
+        # the default XLA path is fastest at exact sizes (measured on v5e)
+        sw8 = -(-sw // SUFFIX_ALIGN) * SUFFIX_ALIGN
         pad = sw8 - sw
 
         def padded(key, fill):
@@ -91,9 +98,8 @@ class CaptionBank:
     def build_tvg(cls, captions, tokenizer, layout: TVGLayout) -> "CaptionBank":
         encs = [layout.encode_caption(c, tokenizer) for c in captions]
         P = layout.prefix_len
-        # prefix aligned to 128 (trailing masked pads) for the Pallas kernel;
-        # pad positions sit past position_offset but are never visible as keys
-        pad = -(-P // 128) * 128 - P
+        # prefix alignment only for the opt-in Pallas kernel (see SUFFIX_ALIGN)
+        pad = -(-P // PREFIX_ALIGN) * PREFIX_ALIGN - P
 
         def padded(key, fill):
             arr = np.stack([e[key][:P] for e in encs])
@@ -481,9 +487,9 @@ class RerankEngine:
         return mat, pmat
 
     def _vtg_prefix_arrays(self):
-        """(padded prefix ids, prefix mask) aligned to 128 for the kernel."""
+        """(prefix ids, prefix mask), aligned only when the kernel needs it."""
         ids = self.vtg_layout.prefix_token_ids()
-        pad = -(-len(ids) // 128) * 128 - len(ids)
+        pad = -(-len(ids) // PREFIX_ALIGN) * PREFIX_ALIGN - len(ids)
         mask = np.concatenate([np.ones(len(ids), np.int32), np.zeros(pad, np.int32)])
         ids = np.concatenate([ids, np.zeros(pad, np.int32)])
         return jnp.asarray(ids), jnp.asarray(mask)
@@ -491,7 +497,7 @@ class RerankEngine:
     def compute_prior_kv(self, layout: VTGLayout):
         """(prior prefix KV, prior prefix mask) — padded to 128."""
         ids, pos = layout.prior_prefix()
-        pad = -(-len(ids) // 128) * 128 - len(ids)
+        pad = -(-len(ids) // PREFIX_ALIGN) * PREFIX_ALIGN - len(ids)
         mask = np.concatenate([np.ones(len(ids), np.int32), np.zeros(pad, np.int32)])
         ids = np.concatenate([ids, np.zeros(pad, np.int32)])
         pos = np.concatenate([pos, np.zeros(pad, np.int32)])

@@ -463,14 +463,9 @@ def score_tvg_shared(
     suffix = jnp.concatenate([first.astype(emb_dtype), vid, term.astype(emb_dtype)], axis=2)
 
     w = suffix.shape[2]
-    w_pad = -(-w // 8) * 8 - w  # align for the Pallas suffix kernel
-    if w_pad:
-        suffix = jnp.pad(suffix, ((0, 0), (0, 0), (0, w_pad), (0, 0)))
     suffix_mask = jnp.ones((g, k, w), jnp.int32)
     if cpn:
         suffix_mask = suffix_mask.at[:, :, 0].set(0)  # last text token masked in the prior
-    if w_pad:
-        suffix_mask = jnp.pad(suffix_mask, ((0, 0), (0, 0), (0, w_pad)))
 
     hidden = qwen2.forward_suffix_with_prefix(
         params["llm"], config.llm, suffix, prefix_kv, suffix_mask, position_offset,
