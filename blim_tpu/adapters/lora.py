@@ -60,7 +60,9 @@ def apply_dense(
         if dropout > 0.0 and rng is not None:
             keep = jax.random.bernoulli(rng, 1.0 - dropout, x.shape)
             xd = jnp.where(keep, x / (1.0 - dropout), 0.0).astype(x.dtype)
-        y = y + ((xd @ lora["a"]) @ lora["b"]) * scale
+        # LoRA math in the factors' (fp32) precision, result in the base dtype
+        # so bf16 activations don't get promoted through the whole stack
+        y = y + (((xd @ lora["a"]) @ lora["b"]) * scale).astype(y.dtype)
     return y
 
 
