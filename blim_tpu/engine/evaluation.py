@@ -82,7 +82,10 @@ def evaluation(
         if verbose:
             print(f"VTG union: {len(u_cap)} unique pairs of {len(all_caps)} "
                   f"grid cells (topk={topk})")
-        scores = engine.score_pairs_vtg_shared(vtg_banks, u_cap, u_vid, topk)
+        # union groups hold ~2*topk pairs per video on average (each video is
+        # in its own v2t row AND ~topk queries' t2v lists): grouping at 2*topk
+        # halves the prefix recomputation
+        scores = engine.score_pairs_vtg_shared(vtg_banks, u_cap, u_vid, 2 * topk)
         cand = np.full((n, n), fill, np.float32)
         cand[v_rows, v_cols] = scores[inv[:n1]]
         query = np.full((n, n), fill, np.float32)
@@ -98,7 +101,7 @@ def evaluation(
         if has_tvg:
             # TVG dedup: v2t_query[i,j] == t2v_candidate[j,i] == P(video i | caption j)
             tscores, tpriors = engine.score_pairs_tvg_shared(
-                tvg_banks, video_vocab, u_cap, u_vid, topk, with_prior=cpn
+                tvg_banks, video_vocab, u_cap, u_vid, 2 * topk, with_prior=cpn
             )
             vq = np.full((n, n), fill, np.float32)
             vq[v_rows, v_cols] = tscores[inv[:n1]]
