@@ -182,6 +182,17 @@ def main(args):
         if i % args.save_iter == 0:
             print(f"[{i}/{len(video_list)}]")
     flush()
+
+    if args.pack and args.num_chunk == 1:
+        # consolidate into the mmap-able single-file cache (native reader)
+        import glob as _glob
+
+        npys = sorted(_glob.glob(os.path.join(out_dir, "*.npy")))
+        if npys:
+            vids = [os.path.splitext(os.path.basename(p))[0] for p in npys]
+            feats = np.stack([np.load(p) for p in npys]).astype(np.float16)
+            FeatureStore.write_pack(out_dir, vids, feats)
+            print(f"packed {len(vids)} videos into features.pack")
     print("done")
 
 
@@ -196,6 +207,9 @@ def get_args_parser():
     p.add_argument("--chunk_idx", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--save_iter", type=int, default=10)
+    p.add_argument("--pack", action="store_true",
+                   help="after extraction, consolidate per-video .npy files "
+                        "into the single-file packed cache (features.pack)")
     return p
 
 
