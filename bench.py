@@ -89,7 +89,10 @@ def main():
     rng = np.random.default_rng(args.seed)
     words = ["man", "woman", "dog", "cat", "runs", "jumps", "sings", "cooks",
              "dances", "rides", "park", "kitchen", "stage", "street", "ball", "car"]
-    captions = [" ".join(rng.choice(words, size=rng.integers(4, 8))) for _ in range(n)]
+    # the byte fallback tokenizer yields ~1 token/char; 2-3 words ~= 10-18
+    # tokens, matching real MSRVTT caption lengths under the Qwen2 BPE
+    # (~12 tokens for ~9.6 words)
+    captions = [" ".join(rng.choice(words, size=rng.integers(2, 4))) for _ in range(n)]
 
     dtype = jnp.float32 if args.tiny else jnp.bfloat16
     params = jax.jit(lambda k: vcf.init_params(cfg, k, dtype))(jax.random.key(args.seed))

@@ -242,14 +242,20 @@ class RerankEngine:
                 self._vtg_shared_step_impl,
                 video_start=vtg_layout.video_start,
                 position_offset=vtg_layout.prefix_len,
-            )
+            ),
+            static_argnames=("width",),
         )
         self._vtg_prior_step = jax.jit(
             functools.partial(
                 self._vtg_prior_step_impl,
                 position_offset=vtg_layout.prefix_len,
-            )
+            ),
+            static_argnames=("width",),
         )
+        # suffix width buckets: one compiled variant per bucket; a group runs
+        # at the smallest bucket covering its longest caption
+        full_w = vtg_layout.suffix_width
+        self.suffix_buckets = tuple(sorted({min(16, full_w), min(24, full_w), full_w}))
         if tvg_layout is not None:
             self._tvg_step = jax.jit(
                 functools.partial(
@@ -290,6 +296,8 @@ class RerankEngine:
             dev["suffix_ids"] = jax.device_put(jnp.asarray(bank.suffix_ids), self._replicated)
             dev["suffix_mask"] = jax.device_put(jnp.asarray(bank.suffix_mask), self._replicated)
             dev["suffix_labels"] = jax.device_put(jnp.asarray(bank.suffix_labels), self._replicated)
+            # host-side real suffix lengths for width bucketing
+            dev["suffix_len_host"] = bank.suffix_mask.sum(axis=1).astype(np.int32)
         if bank.prefix_ids is not None:
             dev["prefix_ids"] = jax.device_put(jnp.asarray(bank.prefix_ids), self._replicated)
             dev["prefix_mask"] = jax.device_put(jnp.asarray(bank.prefix_mask), self._replicated)
@@ -347,10 +355,12 @@ class RerankEngine:
 
     def _vtg_shared_step_impl(
         self, params, lora, banks, prefix_ids, prefix_mask, vid_idx, cap_idx,
-        *, video_start: int, position_offset: int,
+        *, video_start: int, position_offset: int, width: int,
     ):
         """Shared-prefix scoring: prefix KV once per video (G videos), then
-        K caption suffixes per video. vid_idx (G,), cap_idx (G, K)."""
+        K caption suffixes per video. vid_idx (G,), cap_idx (G, K).
+        `width` (static) slices the suffix to the group's length bucket —
+        short captions don't pay for the full caption budget."""
         video = jnp.take(banks["feats"], vid_idx, axis=0)
         g, k = cap_idx.shape
         prefix = jnp.broadcast_to(prefix_ids[None], (g, prefix_ids.shape[0]))
@@ -360,22 +370,23 @@ class RerankEngine:
             lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
         )
         flat = cap_idx.reshape(-1)
-        suf_ids = jnp.take(banks["suffix_ids"], flat, axis=0).reshape(g, k, -1)
-        suf_mask = jnp.take(banks["suffix_mask"], flat, axis=0).reshape(g, k, -1)
-        suf_labels = jnp.take(banks["suffix_labels"], flat, axis=0).reshape(g, k, -1)
+        suf_ids = jnp.take(banks["suffix_ids"], flat, axis=0)[:, :width].reshape(g, k, -1)
+        suf_mask = jnp.take(banks["suffix_mask"], flat, axis=0)[:, :width].reshape(g, k, -1)
+        suf_labels = jnp.take(banks["suffix_labels"], flat, axis=0)[:, : width - 1].reshape(g, k, -1)
         return vcf.score_vtg_suffix(
             params, self.config, kv, suf_ids, suf_mask, suf_labels,
             position_offset, prefix_mask=pmask, lora=lora, lora_scale=self.lora_scale,
         )
 
     def _vtg_prior_step_impl(
-        self, params, lora, banks, prior_kv, prior_mask, cap_idx, *, position_offset: int
+        self, params, lora, banks, prior_kv, prior_mask, cap_idx,
+        *, position_offset: int, width: int,
     ):
         """CPN prior P(t) per caption over the constant text-only prefix.
         cap_idx (B,) -> scores (B,)."""
-        suf_ids = jnp.take(banks["suffix_ids"], cap_idx, axis=0)[None]
-        suf_mask = jnp.take(banks["suffix_mask"], cap_idx, axis=0)[None]
-        suf_labels = jnp.take(banks["suffix_labels"], cap_idx, axis=0)[None]
+        suf_ids = jnp.take(banks["suffix_ids"], cap_idx, axis=0)[:, :width][None]
+        suf_mask = jnp.take(banks["suffix_mask"], cap_idx, axis=0)[:, :width][None]
+        suf_labels = jnp.take(banks["suffix_labels"], cap_idx, axis=0)[:, : width - 1][None]
         scores = vcf.score_vtg_suffix(
             params, self.config, prior_kv, suf_ids, suf_mask, suf_labels,
             position_offset, prefix_mask=prior_mask, lora=lora, lora_scale=self.lora_scale,
@@ -553,30 +564,39 @@ class RerankEngine:
         g_vid, g_cap, g_pos = g_vid[lo:hi], g_cap[lo:hi], g_pos[lo:hi]
         G = groups_per_step or self.groups_per_step
         G = -(-G // self.n_data) * self.n_data
-        m = len(g_vid)
-        m_pad = -(-m // G) * G
-        pad = m_pad - m
-        if pad and m:
-            g_vid = np.concatenate([g_vid, np.repeat(g_vid[:1], pad)])
-            g_cap = np.concatenate([g_cap, np.repeat(g_cap[:1], pad, axis=0)])
 
         prefix_ids, prefix_mask = self._vtg_prefix_arrays()
         gs1 = NamedSharding(self.mesh, P(DATA_AXIS))
         gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
         scores = np.zeros(len(cap_idx), np.float32)
-        # dispatch all steps asynchronously; collect device->host at the end
+
+        # width bucketing: a group runs at the smallest suffix bucket covering
+        # its longest caption (short captions skip most of the budget)
+        lens = banks["suffix_len_host"]
+        g_need = lens[g_cap].max(axis=1) if len(g_cap) else np.zeros(0, np.int32)
         pending = []
-        for s in range(0, m_pad, G):
-            vi = jax.device_put(jnp.asarray(g_vid[s : s + G]), gs1)
-            ci = jax.device_put(jnp.asarray(g_cap[s : s + G]), gs2)
-            pending.append((s, self._vtg_shared_step(
-                self.params, self.lora, banks, prefix_ids, prefix_mask, vi, ci
-            )))
-        for s, out in pending:
+        for b in self.suffix_buckets:
+            smaller = [x for x in self.suffix_buckets if x < b]
+            floor = max(smaller) if smaller else -1
+            (sel,) = np.nonzero((g_need > floor) & (g_need <= b))
+            if not len(sel):
+                continue
+            m = len(sel)
+            m_pad = -(-m // G) * G
+            sel = np.concatenate([sel, np.repeat(sel[:1], m_pad - m)])
+            for s in range(0, m_pad, G):
+                sl = sel[s : s + G]
+                vi = jax.device_put(jnp.asarray(g_vid[sl]), gs1)
+                ci = jax.device_put(jnp.asarray(g_cap[sl]), gs2)
+                out = self._vtg_shared_step(
+                    self.params, self.lora, banks, prefix_ids, prefix_mask, vi, ci,
+                    width=int(b),
+                )
+                pending.append((sl[: min(G, m - s)], out))
+        for sl, out in pending:
             out = np.asarray(out, np.float32)
-            n_real = min(G, m - s)
-            for gi in range(n_real):
-                scores[g_pos[s + gi]] = out[gi]
+            for gi, gidx in enumerate(sl):
+                scores[g_pos[gidx]] = out[gi]
         return self._allreduce_scores(scores)
 
     def compute_vtg_priors(self, banks: Dict[str, jax.Array]) -> np.ndarray:
@@ -586,20 +606,28 @@ class RerankEngine:
         prior_kv, prior_mask = self.compute_prior_kv(self.vtg_layout)
         n_caps = int(banks["suffix_ids"].shape[0])
         B = self.prior_batch
-        prior = np.empty(n_caps, np.float32)
-        padded = -(-n_caps // B) * B
-        caps_padded = np.resize(np.arange(n_caps, dtype=np.int32), padded)
+        prior = np.zeros(n_caps, np.float32)
+        lens = banks["suffix_len_host"]
         pair_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         pending = []
-        for s in range(0, padded, B):
-            ci = jax.device_put(jnp.asarray(caps_padded[s : s + B]), pair_sharding)
-            pending.append((s, self._vtg_prior_step(
-                self.params, self.lora, banks, prior_kv, prior_mask, ci
-            )))
-        for s, out in pending:
+        for b in self.suffix_buckets:
+            smaller = [x for x in self.suffix_buckets if x < b]
+            floor = max(smaller) if smaller else -1
+            (sel,) = np.nonzero((lens > floor) & (lens <= b))
+            if not len(sel):
+                continue
+            m = len(sel)
+            padded = -(-m // B) * B
+            sel = np.concatenate([sel, np.repeat(sel[:1], padded - m)]).astype(np.int32)
+            for s in range(0, padded, B):
+                ci = jax.device_put(jnp.asarray(sel[s : s + B]), pair_sharding)
+                out = self._vtg_prior_step(
+                    self.params, self.lora, banks, prior_kv, prior_mask, ci, width=int(b)
+                )
+                pending.append((sel[s : s + min(B, m - s)], out))
+        for caps, out in pending:
             out = np.asarray(out, np.float32)
-            end = min(s + B, n_caps)
-            prior[s:end] = out[: end - s]
+            prior[caps] = out[: len(caps)]
         return prior
 
     def score_grid_vtg_shared(
