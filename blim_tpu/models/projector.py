@@ -128,6 +128,16 @@ def mlp_apply(p: Params, x: jax.Array, lora: Optional[Params] = None, dropout_rn
     return x
 
 
+def compress_image_tokens(
+    image_features: jax.Array,    # (B, patches, C) single-image ViT features
+    num_attention_heads: int,
+    target: int = 64,
+) -> jax.Array:
+    """Single-image ToMe path: 64 tokens per image (the `compress=False`
+    image branch, reference: mm_projector_builder.py:149-152)."""
+    return merge_tokens(image_features, target, num_attention_heads)
+
+
 def compress_clip_tokens(
     clip_features: jax.Array,     # (clips, local_frames * patches, C) raw ViT features
     tokens_per_frame: int,
