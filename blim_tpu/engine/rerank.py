@@ -223,7 +223,14 @@ class RerankEngine:
 
         self._replicated = NamedSharding(mesh, P())
         self._pair_sharded = NamedSharding(mesh, P(DATA_AXIS))
-        self.params = jax.device_put(params, self._replicated)
+        if dict(mesh.shape).get("model", 1) > 1:
+            # tensor-parallel params over the `model` axis — for checkpoints
+            # that don't fit one chip's HBM; XLA inserts the ICI collectives
+            from blim_tpu.engine.train import param_shardings
+
+            self.params = jax.device_put(params, param_shardings(config, mesh))
+        else:
+            self.params = jax.device_put(params, self._replicated)
         if lora is not None:
             self.lora = jax.device_put(lora, self._replicated)
 
