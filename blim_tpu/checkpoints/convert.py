@@ -10,9 +10,8 @@ blim_tpu's functional models. torch Linear stores (out, in); JAX kernels are
 from __future__ import annotations
 
 import glob
-import json
 import os
-from typing import Any, Callable, Dict, Mapping, Optional
+from typing import Any, Callable, Dict, Mapping
 
 import numpy as np
 

@@ -8,7 +8,6 @@ and a strict parameter-count check on resume.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Any, Dict, Optional

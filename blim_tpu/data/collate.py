@@ -7,7 +7,7 @@ the fixed VTG/TVG layouts so the train step never recompiles.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -19,7 +19,6 @@ reference's fp16-with-fp32-softmax (modeling_qwen2_flash.py:308).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -10,7 +10,6 @@ attends over the masked cache. Greedy and temperature sampling.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -18,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from blim_tpu.adapters.lora import apply_dense
-from blim_tpu.core.config import ModelConfig, Qwen2Config
+from blim_tpu.core.config import Qwen2Config
 from blim_tpu.models import qwen2
 
 Params = Dict[str, Any]

@@ -23,7 +23,6 @@ state out for the TVG head.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any, Dict, Optional, Tuple
 

@@ -14,7 +14,6 @@ align_corners=False)` numerics via a hand-rolled A=-0.75 cubic resampler
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

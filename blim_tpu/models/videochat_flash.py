@@ -24,8 +24,7 @@ Batch dict contract (produced by engine/rerank.py or data collators):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ import argparse
 import functools
 import glob
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -17,11 +17,9 @@ accuracy is meaningless in that mode and a warning is printed.
 from __future__ import annotations
 
 import argparse
-import copy
 import datetime
 import json
 import os
-import sys
 import time
 
 import numpy as np

@@ -12,7 +12,6 @@ import builtins
 import datetime
 import functools
 import os
-from typing import Optional
 
 
 def init_distributed_mode(force_master_print: bool = False) -> None:

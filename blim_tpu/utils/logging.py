@@ -11,7 +11,7 @@ from __future__ import annotations
 import datetime
 import time
 from collections import defaultdict, deque
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 import numpy as np
 
