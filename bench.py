@@ -58,15 +58,17 @@ def main():
     import jax.numpy as jnp
 
     # persistent compile cache: repeated bench runs (driver rounds) skip the
-    # multi-minute remote compiles
-    try:
-        import os
+    # multi-minute remote compiles. TPU runs only — caching CPU AOT results
+    # across heterogeneous hosts risks SIGILL (machine-feature mismatch).
+    if not args.tiny:
+        try:
+            import os
 
-        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-    except Exception:
-        pass
+            cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        except Exception:
+            pass
 
     from blim_tpu.core.config import ModelConfig, tiny_model_config
     from blim_tpu.core.mesh import make_mesh
@@ -114,9 +116,25 @@ def main():
 
     mesh = make_mesh()
     n_chips = len(jax.devices())
+    lora = None
+    lora_scale = 0.0
+    if args.finetuned:
+        # fine-tuned serving includes the LoRA adapters (reference: a
+        # fine-tuned eval always runs the peft-wrapped model, main.py:105)
+        from blim_tpu.adapters.lora import LoraConfig, init_llm_lora, init_projector_lora
+
+        lcfg = LoraConfig()
+        lora = {
+            "llm": init_llm_lora(jax.random.key(7), cfg.llm, lcfg, dtype),
+            "projector": init_projector_lora(
+                jax.random.key(8), cfg.mm_hidden_size, cfg.llm.hidden_size, lcfg, dtype
+            ),
+        }
+        lora_scale = lcfg.scale
     engine = RerankEngine(
         params, cfg, layout, tvg_layout, mesh, batch_size=args.batch,
         groups_per_step=args.groups, prior_batch=args.prior_batch,
+        lora=lora, lora_scale=lora_scale,
     )
 
     def run():
