@@ -34,12 +34,12 @@ NEG_INF = -1e30
 
 
 def _attn_kernel(
-    q_ref,        # (blk_q, D)
-    k_ref,        # (S, D)
-    v_ref,        # (S, D)
-    kmask_ref,    # (1, S) int32
-    qmask_ref,    # (1, blk_q) int32
-    o_ref,        # (blk_q, D)
+    q_ref,        # (1, 1, blk_q, D)
+    k_ref,        # (1, 1, S, D)
+    v_ref,        # (1, 1, S, D)
+    kmask_ref,    # (1, 1, S) int32 — or None (dense variant)
+    qmask_ref,    # (1, 1, S) int32 — or None
+    o_ref,        # (1, 1, blk_q, D)
     *,
     blk_q: int,
     blk_k: int,
@@ -67,13 +67,17 @@ def _attn_kernel(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (blk_q, blk_k)
 
-        # reshape int32 before comparing: Mosaic can't minor-expand i1 vectors
-        km = kmask_ref[0, 0, pl.ds(ki * blk_k, blk_k)].reshape(1, blk_k)
-        visible = km > 0
+        visible = None
+        if kmask_ref is not None:
+            # reshape int32 before comparing: Mosaic can't minor-expand i1 vectors
+            km = kmask_ref[0, 0, pl.ds(ki * blk_k, blk_k)].reshape(1, blk_k)
+            visible = km > 0
         if causal:
             k_pos = ki * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
-            visible = jnp.logical_and(visible, q_pos >= k_pos)
-        s = jnp.where(visible, s, NEG_INF)
+            c = q_pos >= k_pos
+            visible = c if visible is None else jnp.logical_and(visible, c)
+        if visible is not None:
+            s = jnp.where(visible, s, NEG_INF)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -92,8 +96,10 @@ def _attn_kernel(
     acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc, m0, l0))
 
     out = acc / jnp.maximum(l, 1e-30)
-    qm = qmask_ref[0, 0, :].reshape(blk_q, 1).astype(jnp.float32)
-    o_ref[0, 0, :, :] = (out * qm).astype(o_ref.dtype)
+    if qmask_ref is not None:
+        qm = qmask_ref[0, 0, pl.ds(qi * blk_q, blk_q)].reshape(blk_q, 1).astype(jnp.float32)
+        out = out * qm
+    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -114,22 +120,38 @@ def _flash_forward(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k):
     nq = s // blk_q
 
     grid = (b, hq, nq)
+    dense = key_mask is None and query_mask is None
+    if dense:
+        def kernel(qr, kr, vr, outr, **kw):
+            return _attn_kernel(qr, kr, vr, None, None, outr, **kw)
+    else:
+        kernel = _attn_kernel
+        if key_mask is None:
+            key_mask = jnp.ones((b, s), jnp.int32)
+        if query_mask is None:
+            query_mask = jnp.ones((b, s), jnp.int32)
     kernel = functools.partial(
-        _attn_kernel, blk_q=blk_q, blk_k=blk_k, seq_len=s, causal=causal, scale=scale
+        kernel, blk_q=blk_q, blk_k=blk_k, seq_len=s, causal=causal, scale=scale
     )
+    in_specs = [
+        pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi // group, 0, 0)),
+        pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi // group, 0, 0)),
+    ]
+    operands = [qt, kt, vt]
+    if not dense:
+        in_specs += [
+            pl.BlockSpec((1, 1, s), lambda bi, hi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, s), lambda bi, hi, qi: (bi, 0, 0)),
+        ]
+        operands += [key_mask[:, None, :], query_mask[:, None, :]]
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi // group, 0, 0)),
-            pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi // group, 0, 0)),
-            pl.BlockSpec((1, 1, s), lambda bi, hi, qi: (bi, 0, 0)),
-            pl.BlockSpec((1, 1, blk_q), lambda bi, hi, qi: (bi, 0, qi)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
-    )(qt, kt, vt, key_mask[:, None, :], query_mask[:, None, :])
+    )(*operands)
     return out.transpose(0, 2, 1, 3)
 
 
@@ -177,24 +199,33 @@ def flash_attention(
     b, s, hq, d = q.shape
     if scale is None:
         scale = d ** -0.5
+    dense = key_mask is None and query_mask is None
+    if not causal and dense and s * d * 4 <= 4 * 2**20:
+        # non-causal dense (the ViT): whole-K/V-in-VMEM with a large q tile is
+        # ~2x faster than XLA at res448 (33 vs 68 ms/layer measured on v5e)
+        blk_k = s
+        blk_q = next((c for c in range(512, 7, -8) if s % c == 0), blk_q)
     blk_q = min(blk_q, s)
     blk_k = min(blk_k, s)
     while blk_q > 1 and s % blk_q:
         blk_q //= 2
     while blk_k > 1 and s % blk_k:
         blk_k //= 2
-    if blk_q < 8 or blk_k < 128 or d % 128:
+    # blocks must tile the TPU layout: sublane multiples of 8; the head dim is
+    # always a full-array block (legal at any size, best at 128). Mask rows
+    # are dynamically lane-sliced, which Mosaic only lowers at 128 alignment —
+    # the dense (maskless) variant works down to 64 (e.g. the ViT's 3136).
+    min_blk_k = 64 if dense else 128
+    if blk_q < 8 or blk_k < min_blk_k:
         # shape doesn't tile onto the MXU/VPU lanes (odd sequence lengths,
         # tiny heads in tests) — the XLA path is equally fast at small sizes
         from blim_tpu.kernels.attention import _xla_attention
 
         return _xla_attention(q, k, v, key_mask, query_mask, causal, scale)
-    if key_mask is None:
-        key_mask = jnp.ones((b, s), jnp.int32)
-    if query_mask is None:
-        query_mask = jnp.ones((b, s), jnp.int32)
-    key_mask = key_mask.astype(jnp.int32)
-    query_mask = query_mask.astype(jnp.int32)
+    if key_mask is not None:
+        key_mask = key_mask.astype(jnp.int32)
+    if query_mask is not None:
+        query_mask = query_mask.astype(jnp.int32)
     if interpret:
         with pltpu.force_tpu_interpret_mode():
             return _flash_attention(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k)
