@@ -187,13 +187,22 @@ def main(args):
         p["visual_head"] = {"kernel": trainable["visual_head"]["kernel"]}
         return p
 
+    # the engine (and its compiled steps) is built ONCE; per-epoch evals swap
+    # the LoRA pytree and visual_head in place — both are traced arguments,
+    # so no recompilation across epochs
+    engine = RerankEngine(
+        eval_params(), config, vtg_layout, tvg_layout, mesh,
+        batch_size=args.batch_size_eval,
+        lora=lora_tree() if has_tvg or args.resume else None,
+        lora_scale=lora_cfg.scale,
+    )
+
     def run_eval():
-        engine = RerankEngine(
-            eval_params(), config, vtg_layout, tvg_layout, mesh,
-            batch_size=args.batch_size_eval,
-            lora=lora_tree() if has_tvg or args.resume else None,
-            lora_scale=lora_cfg.scale,
-        )
+        if has_tvg or args.resume:
+            engine.lora = jax.device_put(lora_tree(), engine._replicated)
+        engine.params["visual_head"] = {
+            "kernel": jax.device_put(trainable["visual_head"]["kernel"], engine._replicated)
+        }
         iv2 = load_iv2_scores(args.scores_dir, args.dataset, zeroshot=not has_tvg)
         return loop_lib.val_one_epoch(
             engine, dataset_val, iv2, tokenizer, args.topk, args.cpn,
