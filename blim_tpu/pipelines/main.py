@@ -269,7 +269,7 @@ def main(args):
 
 
 if __name__ == "__main__":
-    parser = get_args_parser()
+    parser = argparse.ArgumentParser("BLiM-TPU", parents=[get_args_parser()])
     args = parser.parse_args()
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)
