@@ -1,19 +1,30 @@
 #!/usr/bin/env python
-"""Benchmark: MSRVTT zero-shot rerank throughput (queries/sec/chip).
+"""Benchmark: MSRVTT rerank throughput (queries/sec/chip) + MFU.
 
 North-star (BASELINE.md): MSRVTT-1k zero-shot rerank (1k queries x topk-16,
 P(t|v) only) with the 7B model in <= 5 min on a v5e-8 => 3.333 q/s on 8 chips
 => 0.4167 q/s/chip. This bench runs the COMPLETE zero-shot evaluation flow —
 v2t candidate-likelihood grid, v2t CPN prior, t2v query-likelihood grid
-(reference: retrieval_utils.py:206-262 gated zero-shot) — with synthetic
-captions/features and random-initialized 7B bf16 weights, and reports
-queries/sec/chip over the whole flow.
+(reference: retrieval_utils.py:206-262 gated zero-shot) — at the TRUE
+north-star shape: 1000 queries, topk 16, the production caption budget of 96
+tokens (pipelines/main.py cap_budget), and a realistic caption token-length
+distribution (lognormal, median ~12 tokens, tail into the 30s — the Qwen2-BPE
+length profile of real MSRVTT captions).
+
+It prints TWO JSON lines:
+  1. the zero-shot flow (primary metric, comparable across rounds);
+  2. the fine-tuned 6-matrix flow (VTG+TVG both directions + priors, LoRA
+     adapters active; reference: retrieval_utils.py:218-250) on a reduced
+     query count so TVG shared-prefix regressions are visible per round.
+
+MFU: the rerank engine counts dispatched forward FLOPs analytically
+(blim_tpu/utils/flops.py documents the model: 2*matmul params per token +
+4*dh*nh*sum(q*kv) attention + lm_head on scored positions); MFU = counted
+FLOPs / elapsed / (chips x peak bf16 FLOP/s for the device kind).
 
 Default path uses prefix-KV sharing (one video-prefix forward per group of
 topk candidates; CPN prior once per caption); --naive scores every pair with
 a full-sequence forward like the reference does.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Note: identical repeated inputs can be result-cached by the axon tunnel, so
 every pair uses distinct caption/video data.
@@ -29,20 +40,69 @@ import numpy as np
 
 BASELINE_QPS_PER_CHIP = 1000.0 / 300.0 / 8.0  # 0.4167 q/s/chip
 
+WORDS = ["man", "woman", "dog", "cat", "runs", "jumps", "sings", "cooks",
+         "dances", "rides", "park", "kitchen", "stage", "street", "ball", "car",
+         "talks", "plays", "guitar", "soccer", "child", "group", "slowly", "red"]
+
+
+def make_captions(n, rng, budget):
+    """Synthetic captions with a realistic token-length profile.
+
+    The byte-fallback tokenizer yields ~1 token/char; real MSRVTT captions
+    under the Qwen2 BPE average ~12 tokens (median 12, 97.5% <= ~24, rare
+    tails to ~40). Sample target lengths from lognormal(ln 12, 0.35) clipped
+    to [5, budget-2] and build captions of that many characters.
+    """
+    lens = np.clip(np.rint(rng.lognormal(np.log(12.0), 0.35, size=n)), 5, budget - 2)
+    caps = []
+    for L in lens.astype(int):
+        words = []
+        total = 0
+        while total < L:
+            w = WORDS[rng.integers(len(WORDS))]
+            words.append(w)
+            total += len(w) + (1 if total else 0)
+        caps.append(" ".join(words)[:L].strip())
+    return caps
+
+
+def run_flow(engine, inputs, tok, dataset, topk, cpn, finetuned, naive, trials):
+    """Time the full evaluation flow; returns (elapsed_s, flops, t2v, v2t)."""
+    from blim_tpu.engine.evaluation import evaluation
+
+    elapsed, flops = float("inf"), 0.0
+    t2v = v2t = None
+    for _ in range(max(trials, 1)):
+        engine.reset_flops()
+        t0 = time.perf_counter()
+        t2v, v2t = evaluation(
+            engine, inputs, tok, dataset, topk=topk, cpn=cpn,
+            has_tvg=finetuned, verbose=False, shared_prefix=not naive,
+        )
+        dt = time.perf_counter() - t0
+        if dt < elapsed:
+            elapsed, flops = dt, engine.flops
+    return elapsed, flops, t2v, v2t
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="tiny model on CPU (smoke test)")
-    ap.add_argument("--queries", type=int, default=128)
+    ap.add_argument("--queries", type=int, default=1000)
     ap.add_argument("--topk", type=int, default=16)
     ap.add_argument("--batch", type=int, default=16, help="pairs per chip per step (naive path)")
     ap.add_argument("--groups", type=int, default=2, help="prefix groups per chip per step")
     ap.add_argument("--prior-batch", type=int, default=64)
-    ap.add_argument("--caption-tokens", type=int, default=32)
+    ap.add_argument("--caption-tokens", type=int, default=96,
+                    help="caption token budget (96 = the production MSRVTT default)")
     ap.add_argument("--naive", action="store_true", help="disable prefix-KV sharing")
     ap.add_argument("--no-cpn", action="store_true", help="skip the CPN prior pass")
     ap.add_argument("--finetuned", action="store_true",
-                    help="fine-tuned-mode eval: all 6 matrices incl. TVG directions")
+                    help="make the fine-tuned 6-matrix eval the PRIMARY metric")
+    ap.add_argument("--skip-finetuned-line", action="store_true",
+                    help="suppress the secondary fine-tuned JSON line")
+    ap.add_argument("--finetuned-queries", type=int, default=256,
+                    help="query count for the secondary fine-tuned line")
     ap.add_argument("--trials", type=int, default=2,
                     help="measured trials; best is reported (host/tunnel "
                          "contention adds large run-to-run variance)")
@@ -77,24 +137,17 @@ def main():
     from blim_tpu.engine.evaluation import EvalInputs, evaluation
     from blim_tpu.engine.rerank import RerankEngine
     from blim_tpu.models import videochat_flash as vcf
+    from blim_tpu.utils.flops import peak_flops_per_chip
 
     cfg = tiny_model_config(vocab_size=152064) if args.tiny else ModelConfig()
     tok = ByteFallbackTokenizer()
     dataset = "MSRVTT"
     layout = make_vtg_layout(tok, dataset, cfg.video_tokens_vtg, max_caption_tokens=args.caption_tokens)
-    tvg_layout = (
-        make_tvg_layout(tok, cfg.num_clips, max_caption_tokens=args.caption_tokens)
-        if args.finetuned else None
-    )
+    tvg_layout = make_tvg_layout(tok, cfg.num_clips, max_caption_tokens=args.caption_tokens)
 
     n = args.queries
     rng = np.random.default_rng(args.seed)
-    words = ["man", "woman", "dog", "cat", "runs", "jumps", "sings", "cooks",
-             "dances", "rides", "park", "kitchen", "stage", "street", "ball", "car"]
-    # the byte fallback tokenizer yields ~1 token/char; 2-3 words ~= 10-18
-    # tokens, matching real MSRVTT caption lengths under the Qwen2 BPE
-    # (~12 tokens for ~9.6 words)
-    captions = [" ".join(rng.choice(words, size=rng.integers(2, 4))) for _ in range(n)]
+    captions = make_captions(n, rng, args.caption_tokens)
 
     dtype = jnp.float32 if args.tiny else jnp.bfloat16
     params = jax.jit(lambda k: vcf.init_params(cfg, k, dtype))(jax.random.key(args.seed))
@@ -106,78 +159,95 @@ def main():
     ) * 0.5
     iv2_t2v = rng.standard_normal((n, n)).astype(np.float32) + 0.01
     iv2_v2t = rng.standard_normal((n, n)).astype(np.float32) + 0.01
-    inputs = EvalInputs(
-        captions=captions,
-        item_video_idx=np.arange(n),
-        features=feats,
-        t2v_iv2=iv2_t2v,
-        v2t_iv2=iv2_v2t,
-    )
+
+    def make_inputs(m):
+        return EvalInputs(
+            captions=captions[:m], item_video_idx=np.arange(m), features=feats[:m],
+            t2v_iv2=iv2_t2v[:m, :m], v2t_iv2=iv2_v2t[:m, :m],
+        )
 
     mesh = make_mesh()
     n_chips = len(jax.devices())
-    lora = None
-    lora_scale = 0.0
-    if args.finetuned:
-        # fine-tuned serving includes the LoRA adapters (reference: a
-        # fine-tuned eval always runs the peft-wrapped model, main.py:105)
-        from blim_tpu.adapters.lora import LoraConfig, init_llm_lora, init_projector_lora
+    peak = peak_flops_per_chip(jax.devices()[0])
 
-        lcfg = LoraConfig()
-        lora = {
-            "llm": init_llm_lora(jax.random.key(7), cfg.llm, lcfg, dtype),
-            "projector": init_projector_lora(
-                jax.random.key(8), cfg.mm_hidden_size, cfg.llm.hidden_size, lcfg, dtype
-            ),
-        }
-        lora_scale = lcfg.scale
-    engine = RerankEngine(
-        params, cfg, layout, tvg_layout, mesh, batch_size=args.batch,
-        groups_per_step=args.groups, prior_batch=args.prior_batch,
-        lora=lora, lora_scale=lora_scale,
-    )
+    # fine-tuned serving includes the LoRA adapters (reference: a fine-tuned
+    # eval always runs the peft-wrapped model, main.py:105)
+    from blim_tpu.adapters.lora import LoraConfig, init_llm_lora, init_projector_lora
 
-    def run():
-        return evaluation(
-            engine, inputs, tok, dataset, topk=args.topk,
-            cpn=not args.no_cpn, has_tvg=args.finetuned, verbose=False,
-            shared_prefix=not args.naive,
+    lcfg = LoraConfig()
+    lora = {
+        "llm": init_llm_lora(jax.random.key(7), cfg.llm, lcfg, dtype),
+        "projector": init_projector_lora(
+            jax.random.key(8), cfg.mm_hidden_size, cfg.llm.hidden_size, lcfg, dtype
+        ),
+    }
+
+    def build_engine(finetuned):
+        return RerankEngine(
+            params, cfg, layout, tvg_layout if finetuned else None, mesh,
+            batch_size=args.batch, groups_per_step=args.groups,
+            prior_batch=args.prior_batch,
+            lora=lora if finetuned else None,
+            lora_scale=lcfg.scale if finetuned else 0.0,
         )
 
-    # warmup/compile on a reduced problem (step shapes are size-independent)
-    nw = min(n, max(2 * args.topk, args.batch))
-    warm = EvalInputs(
-        captions=captions[:nw], item_video_idx=np.arange(nw), features=feats[:nw],
-        t2v_iv2=iv2_t2v[:nw, :nw], v2t_iv2=iv2_v2t[:nw, :nw],
-    )
-    evaluation(engine, warm, tok, dataset, topk=args.topk, cpn=not args.no_cpn,
-               has_tvg=args.finetuned, verbose=False, shared_prefix=not args.naive)
+    def measure(finetuned, m, trials):
+        engine = build_engine(finetuned)
+        # warmup/compile on a reduced problem (step shapes are size-independent)
+        nw = min(m, max(2 * args.topk, args.batch))
+        evaluation(engine, make_inputs(nw), tok, dataset, topk=args.topk,
+                   cpn=not args.no_cpn, has_tvg=finetuned, verbose=False,
+                   shared_prefix=not args.naive)
+        elapsed, flops, t2v, v2t = run_flow(
+            engine, make_inputs(m), tok, dataset, args.topk,
+            not args.no_cpn, finetuned, args.naive, trials,
+        )
+        key = "candidate_likelihood" if finetuned else "query_likelihood"
+        for name, mat in [("t2v", t2v[key]), ("v2t", v2t["candidate_likelihood"])]:
+            cells = mat[mat > -100.0]
+            assert len(cells) and np.isfinite(cells).all(), f"bad scores in {name}"
+        qps = m / elapsed / n_chips
+        mfu = flops / elapsed / (n_chips * peak) if peak else None
+        return qps, mfu, flops, elapsed
 
-    elapsed = float("inf")
-    for _ in range(max(args.trials, 1)):
-        t0 = time.perf_counter()
-        t2v, v2t = run()
-        elapsed = min(elapsed, time.perf_counter() - t0)
-
-    for name, m in [("t2v.query", t2v["query_likelihood"]), ("v2t.cand", v2t["candidate_likelihood"])]:
-        cells = m[m > -100.0]
-        assert len(cells) and np.isfinite(cells).all(), f"bad scores in {name}"
-
-    qps_per_chip = n / elapsed / n_chips
-    mode = "finetuned 6-matrix" if args.finetuned else "full zero-shot"
+    primary_finetuned = args.finetuned
+    qps, mfu, flops, elapsed = measure(primary_finetuned, n, args.trials)
+    mode = "finetuned 6-matrix" if primary_finetuned else "full zero-shot"
     result = {
-        "metric": "msrvtt_zeroshot_rerank_queries_per_sec_per_chip",
-        "value": round(qps_per_chip, 4),
-        "unit": f"queries/s/chip ({mode} flow, topk=16, 7B)" if not args.tiny
-                else "queries/s/chip (tiny smoke)",
-        "vs_baseline": round(qps_per_chip / BASELINE_QPS_PER_CHIP, 3),
+        "metric": ("msrvtt_finetuned_rerank_queries_per_sec_per_chip"
+                   if primary_finetuned else
+                   "msrvtt_zeroshot_rerank_queries_per_sec_per_chip"),
+        "value": round(qps, 4),
+        "unit": f"queries/s/chip ({mode} flow, topk={args.topk}, 7B, "
+                f"{n} queries, caption budget {args.caption_tokens})"
+                if not args.tiny else "queries/s/chip (tiny smoke)",
+        "vs_baseline": round(qps / BASELINE_QPS_PER_CHIP, 3),
     }
+    if mfu is not None:
+        result["mfu"] = round(mfu, 4)
+        result["model_tflops"] = round(flops / 1e12, 1)
     print(json.dumps(result))
-    print(
-        f"# {n} queries, topk={args.topk}, cpn={not args.no_cpn}, "
-        f"shared_prefix={not args.naive}: {elapsed:.1f}s on {n_chips} chip(s)",
-        file=sys.stderr,
-    )
+    print(f"# primary: {n} queries in {elapsed:.1f}s on {n_chips} chip(s), "
+          f"cpn={not args.no_cpn}, shared_prefix={not args.naive}, "
+          f"flops={flops/1e12:.1f} TF" + (f", mfu={mfu:.3f}" if mfu else ""),
+          file=sys.stderr)
+
+    if not primary_finetuned and not args.skip_finetuned_line and not args.tiny:
+        m2 = min(args.finetuned_queries, n)
+        qps2, mfu2, flops2, elapsed2 = measure(True, m2, 1)
+        line2 = {
+            "metric": "msrvtt_finetuned_rerank_queries_per_sec_per_chip",
+            "value": round(qps2, 4),
+            "unit": f"queries/s/chip (finetuned 6-matrix flow, topk={args.topk}, "
+                    f"7B+LoRA, {m2} queries, caption budget {args.caption_tokens})",
+            "vs_baseline": round(qps2 / BASELINE_QPS_PER_CHIP, 3),
+        }
+        if mfu2 is not None:
+            line2["mfu"] = round(mfu2, 4)
+            line2["model_tflops"] = round(flops2 / 1e12, 1)
+        print(json.dumps(line2))
+        print(f"# finetuned: {m2} queries in {elapsed2:.1f}s"
+              + (f", mfu={mfu2:.3f}" if mfu2 else ""), file=sys.stderr)
 
 
 if __name__ == "__main__":

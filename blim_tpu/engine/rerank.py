@@ -35,6 +35,7 @@ from blim_tpu.core.config import ModelConfig
 from blim_tpu.core.mesh import DATA_AXIS
 from blim_tpu.data.prompts import TVGLayout, VTGLayout
 from blim_tpu.models import videochat_flash as vcf
+from blim_tpu.utils import flops as flops_lib
 
 Params = Dict[str, Any]
 
@@ -220,6 +221,9 @@ class RerankEngine:
         self.lora = lora
         self.lora_scale = lora_scale
         self.use_pallas = use_pallas
+        # analytic forward-FLOP counter (see blim_tpu/utils/flops.py for the
+        # model); incremented at every dispatch site, read by bench.py for MFU
+        self.flops = 0.0
 
         self._replicated = NamedSharding(mesh, P())
         self._pair_sharded = NamedSharding(mesh, P(DATA_AXIS))
@@ -459,12 +463,23 @@ class RerankEngine:
         scores = np.zeros(len(cap_idx), np.float32)
         priors = np.zeros(len(cap_idx), np.float32) if with_prior else None
         pending = []
+        P_tvg = int(banks["prefix_ids"].shape[1])
+        Wt = self.tvg_layout.suffix_width
+        k = int(g_vid.shape[1]) if len(g_vid) else topk
+        n_passes = 2 if with_prior else 1
+        V = int(video_vocab.shape[0])
+        llm = self.config.llm
         for s in range(0, m_pad, G):
             ci = jax.device_put(jnp.asarray(g_cap[s : s + G]), gs1)
             vi = jax.device_put(jnp.asarray(g_vid[s : s + G]), gs2)
             pending.append((s, self._tvg_shared_step(
                 self.params, self.lora, banks, video_vocab, ci, vi, with_prior=with_prior
             )))
+            self.flops += n_passes * (
+                flops_lib.prefix_forward_flops(llm, G, P_tvg)
+                + flops_lib.suffix_forward_flops(llm, G * k, Wt, P_tvg)
+                + flops_lib.tvg_head_flops(self.config, G * k * self.config.num_clips, V)
+            )
         for s, (score, prior) in pending:
             score = np.asarray(score, np.float32)
             if with_prior:
@@ -531,6 +546,9 @@ class RerankEngine:
         )
         return kv, jnp.asarray(mask)[None]
 
+    def reset_flops(self) -> None:
+        self.flops = 0.0
+
     def _process_shard(self, n_groups: int) -> Tuple[int, int]:
         """Contiguous group range for this host — the multi-host analogue of
         the reference's rank row-sharding (retrieval_utils.py:213-215).
@@ -591,6 +609,9 @@ class RerankEngine:
             m = len(sel)
             m_pad = -(-m // G) * G
             sel = np.concatenate([sel, np.repeat(sel[:1], m_pad - m)])
+            P_len = int(prefix_ids.shape[0])
+            k = int(g_cap.shape[1]) if len(g_cap) else topk
+            llm = self.config.llm
             for s in range(0, m_pad, G):
                 sl = sel[s : s + G]
                 vi = jax.device_put(jnp.asarray(g_vid[sl]), gs1)
@@ -598,6 +619,10 @@ class RerankEngine:
                 out = self._vtg_shared_step(
                     self.params, self.lora, banks, prefix_ids, prefix_mask, vi, ci,
                     width=int(b),
+                )
+                self.flops += flops_lib.prefix_forward_flops(llm, G, P_len)
+                self.flops += flops_lib.suffix_forward_flops(
+                    llm, G * k, int(b), P_len, lm_positions=int(b) - 1
                 )
                 pending.append((sl[: min(G, m - s)], out))
         for sl, out in pending:
@@ -611,6 +636,8 @@ class RerankEngine:
         video-independent, one forward per caption over the dataset-constant
         text prefix. Returns (n_captions,)."""
         prior_kv, prior_mask = self.compute_prior_kv(self.vtg_layout)
+        P_prior = int(prior_mask.shape[1])
+        self.flops += flops_lib.prefix_forward_flops(self.config.llm, 1, P_prior)
         n_caps = int(banks["suffix_ids"].shape[0])
         B = self.prior_batch
         prior = np.zeros(n_caps, np.float32)
@@ -630,6 +657,9 @@ class RerankEngine:
                 ci = jax.device_put(jnp.asarray(sel[s : s + B]), pair_sharding)
                 out = self._vtg_prior_step(
                     self.params, self.lora, banks, prior_kv, prior_mask, ci, width=int(b)
+                )
+                self.flops += flops_lib.suffix_forward_flops(
+                    self.config.llm, B, int(b), P_prior, lm_positions=int(b) - 1
                 )
                 pending.append((sel[s : s + min(B, m - s)], out))
         for caps, out in pending:
@@ -664,7 +694,8 @@ class RerankEngine:
     # -- pair-grid driver -------------------------------------------------------
 
     def _run_pairs(
-        self, step_fn, n_pairs, cap_idx, vid_idx, step_args, with_prior: bool
+        self, step_fn, n_pairs, cap_idx, vid_idx, step_args, with_prior: bool,
+        step_flops: float = 0.0,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batch the flat pair list through a jitted step; returns flat scores."""
         B = self.batch_size
@@ -679,6 +710,7 @@ class RerankEngine:
             ci = jax.device_put(jnp.asarray(cap_idx[s : s + B]), self._pair_sharded)
             vi = jax.device_put(jnp.asarray(vid_idx[s : s + B]), self._pair_sharded)
             pending.append((s, step_fn(*step_args, ci, vi, with_prior=with_prior)))
+            self.flops += step_flops
         for s, (sc, pr) in pending:
             scores[s : s + B] = np.asarray(sc, np.float32)
             priors[s : s + B] = np.asarray(pr, np.float32)
@@ -698,9 +730,14 @@ class RerankEngine:
         """Score pairs and scatter into a (fill)-initialized matrix — the
         reference fills -100 and relies on it surviving all_reduce
         (retrieval_utils.py:219,254); here the scatter is explicit."""
+        T = int(banks["ids"].shape[1])
+        wl = self.vtg_layout.label_window[1]
+        step_flops = (2 if with_prior else 1) * flops_lib.full_forward_flops(
+            self.config.llm, self.batch_size, T, lm_positions=wl
+        )
         scores, priors = self._run_pairs(
             self._vtg_step, len(rows), cap_idx, vid_idx,
-            (self.params, self.lora, banks), with_prior,
+            (self.params, self.lora, banks), with_prior, step_flops=step_flops,
         )
         mat = np.full(out_shape, fill, np.float32)
         mat[rows, cols] = scores
@@ -722,9 +759,17 @@ class RerankEngine:
         with_prior: bool,
         fill: float = -100.0,
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        T = int(banks["ids"].shape[1])
+        step_flops = (2 if with_prior else 1) * (
+            flops_lib.full_forward_flops(self.config.llm, self.batch_size, T)
+            + flops_lib.tvg_head_flops(
+                self.config, self.batch_size * self.config.num_clips,
+                int(video_vocab.shape[0]),
+            )
+        )
         scores, priors = self._run_pairs(
             self._tvg_step, len(rows), cap_idx, vid_idx,
-            (self.params, self.lora, banks, video_vocab), with_prior,
+            (self.params, self.lora, banks, video_vocab), with_prior, step_flops=step_flops,
         )
         mat = np.full(out_shape, fill, np.float32)
         mat[rows, cols] = scores

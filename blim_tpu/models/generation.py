@@ -33,13 +33,19 @@ def _decode_layer(
     base_mask: jax.Array,       # (B, Smax) 1 = usable key slot (prompt pads = 0)
     cos: jax.Array,
     sin: jax.Array,
+    ll: Optional[Params] = None,   # per-layer LoRA factors (q/k/v/o_proj)
+    lora_scale: float = 0.0,
 ):
     B = hidden.shape[0]
     H, Kh, hd = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+
+    def lo(name):
+        return None if ll is None else ll.get(name)
+
     x = qwen2.rms_norm(hidden, lp["input_layernorm"]["scale"], c.rms_norm_eps)
-    q = apply_dense(lp["q_proj"], x).reshape(B, 1, H, hd)
-    k = apply_dense(lp["k_proj"], x).reshape(B, 1, Kh, hd)
-    v = apply_dense(lp["v_proj"], x).reshape(B, 1, Kh, hd)
+    q = apply_dense(lp["q_proj"], x, lo("q_proj"), lora_scale).reshape(B, 1, H, hd)
+    k = apply_dense(lp["k_proj"], x, lo("k_proj"), lora_scale).reshape(B, 1, Kh, hd)
+    v = apply_dense(lp["v_proj"], x, lo("v_proj"), lora_scale).reshape(B, 1, Kh, hd)
     q = qwen2.apply_rope(q, cos, sin)
     k = qwen2.apply_rope(k, cos, sin)
 
@@ -54,7 +60,7 @@ def _decode_layer(
     scores = jnp.where(visible[:, None, None, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(cache_v.dtype)
     out = jnp.einsum("bhgs,bshd->bhgd", probs, cache_v).reshape(B, 1, H * hd)
-    hidden = hidden + apply_dense(lp["o_proj"], out)
+    hidden = hidden + apply_dense(lp["o_proj"], out, lo("o_proj"), lora_scale)
 
     x = qwen2.rms_norm(hidden, lp["post_attention_layernorm"]["scale"], c.rms_norm_eps)
     gate = jax.nn.silu(x @ lp["gate_proj"]["kernel"])
@@ -71,16 +77,30 @@ def decode_one(
     cur_len: jax.Array,
     base_mask: jax.Array,       # (B, Smax)
     position: jax.Array,        # (B, 1) RoPE position of this token
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One decode step across all layers; returns (hidden (B,1,D), new cache)."""
     cos, sin = qwen2.rope_cos_sin(position, config.head_dim, config.rope_theta)
 
-    def body(hidden, xs):
-        lp, ck, cv = xs
-        hidden, ck, cv = _decode_layer(config, lp, hidden, ck, cv, cur_len, base_mask, cos, sin)
-        return hidden, (ck, cv)
+    if lora is None:
+        def body(hidden, xs):
+            lp, ck, cv = xs
+            hidden, ck, cv = _decode_layer(config, lp, hidden, ck, cv, cur_len, base_mask, cos, sin)
+            return hidden, (ck, cv)
 
-    hidden, (ks, vs) = jax.lax.scan(body, token_embed, (params["layers"], cache["k"], cache["v"]))
+        xs = (params["layers"], cache["k"], cache["v"])
+    else:
+        def body(hidden, xs):
+            lp, ll, ck, cv = xs
+            hidden, ck, cv = _decode_layer(
+                config, lp, hidden, ck, cv, cur_len, base_mask, cos, sin, ll, lora_scale
+            )
+            return hidden, (ck, cv)
+
+        xs = (params["layers"], lora["layers"], cache["k"], cache["v"])
+
+    hidden, (ks, vs) = jax.lax.scan(body, token_embed, xs)
     hidden = qwen2.rms_norm(hidden, params["norm"]["scale"], config.rms_norm_eps)
     return hidden, {"k": ks, "v": vs}
 
@@ -94,14 +114,23 @@ def generate_tokens(
     eos_token_ids: Sequence[int],
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
 ) -> jax.Array:
     """Prefill + greedy/sampled decode. Returns (B, max_new_tokens) int32
-    (positions after an EOS are padded with the EOS id)."""
+    (positions after an EOS are padded with the EOS id).
+
+    A fine-tuned model generates through its adapters: LoRA factors apply in
+    prefill, every decode step, and the lm_head (the reference always
+    generates through the peft-wrapped model, main.py:100-105 +
+    modeling_videochat_flash.py:632-654)."""
     B, P, D = inputs_embeds.shape
     c = config
     smax = P + max_new_tokens
 
-    hidden, kv = qwen2.forward_collect_kv(params, c, inputs_embeds, attention_mask)
+    hidden, kv = qwen2.forward_collect_kv(
+        params, c, inputs_embeds, attention_mask, lora=lora, lora_scale=lora_scale
+    )
     pad_tail = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, max_new_tokens), (0, 0), (0, 0)))
     cache = {"k": pad_tail(kv["k"]), "v": pad_tail(kv["v"])}
     base_mask = jnp.concatenate(
@@ -110,7 +139,7 @@ def generate_tokens(
 
     eos = jnp.asarray(list(eos_token_ids), jnp.int32)
     last_hidden = hidden[:, -1:]
-    logits0 = qwen2.lm_logits(params, last_hidden, c)[:, 0]
+    logits0 = qwen2.lm_logits(params, last_hidden, c, lora, lora_scale)[:, 0]
     if rng is None:
         rng = jax.random.key(0)
 
@@ -133,8 +162,10 @@ def generate_tokens(
         cur = tokens[:, step]
         emb = qwen2.embed_tokens(params, cur[:, None])
         pos = (P + step) * jnp.ones((B, 1), jnp.int32)
-        hidden, cache = decode_one(params, c, emb, cache, P + step, base_mask, pos)
-        logits = qwen2.lm_logits(params, hidden, c)[:, 0]
+        hidden, cache = decode_one(
+            params, c, emb, cache, P + step, base_mask, pos, lora, lora_scale
+        )
+        logits = qwen2.lm_logits(params, hidden, c, lora, lora_scale)[:, 0]
         nxt = select(logits, jax.random.fold_in(key, step + 1))
         nxt = jnp.where(done, eos[0], nxt)
         tokens = tokens.at[:, step + 1].set(nxt)

@@ -412,4 +412,7 @@ def forward_logits(
     hidden = forward_hidden(
         params, config, embed_tokens(params, input_ids), attention_mask, position_ids, **kw
     )
-    return lm_logits(params, hidden, config)
+    return lm_logits(
+        params, hidden, config,
+        lora=kw.get("lora"), lora_scale=kw.get("lora_scale", 0.0),
+    )

@@ -217,9 +217,13 @@ def generate(
     max_new_tokens: int = 256,
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
+    lora: Optional[Params] = None,   # {"llm": ..., "projector": ...}
+    lora_scale: float = 0.0,
 ):
     """Single-prompt generation: splice + prefill + KV-cache decode
-    (reference: modeling_videochat_flash.py:632-654)."""
+    (reference: modeling_videochat_flash.py:632-654). A fine-tuned model's
+    LoRA adapters apply throughout (reference generates through the
+    peft-wrapped model, main.py:100-105)."""
     import numpy as np
 
     from blim_tpu.core.constants import IMAGE_TOKEN_INDEX
@@ -246,6 +250,7 @@ def generate(
     tokens = generation.generate_tokens(
         params["llm"], config.llm, emb, mask, max_new_tokens, eos,
         temperature=temperature, rng=rng,
+        lora=None if lora is None else lora["llm"], lora_scale=lora_scale,
     )
     return np.asarray(tokens[0])
 
@@ -263,6 +268,8 @@ def chat(
     max_num_frames: int = 512,
     max_new_tokens: int = 256,
     temperature: float = 0.0,
+    lora: Optional[Params] = None,   # {"llm": ..., "projector": ...}
+    lora_scale: float = 0.0,
 ):
     """Video chat: decode -> featurize -> prompt -> generate -> detokenize
     (reference: modeling_videochat_flash.py:656-729)."""
@@ -283,7 +290,10 @@ def chat(
     clips = len(pixels) // lf
     pix = jnp.asarray(pixels[: clips * lf].reshape(1, clips, lf, *pixels.shape[1:]))
     feats = featurize(pix)[0]                    # (clips, tokens_per_clip, mm)
-    video_embeds = projector_lib.project_vtg(params["projector"], feats[None])[0]
+    video_embeds = projector_lib.project_vtg(
+        params["projector"], feats[None],
+        lora=None if lora is None else lora["projector"], lora_scale=lora_scale,
+    )[0]
 
     conv = conv_templates["qwen_2"].copy()
     if chat_history:
@@ -301,6 +311,7 @@ def chat(
     tokens = generate(
         params, config, input_ids, video_embeds, tokenizer,
         max_new_tokens=max_new_tokens, temperature=temperature,
+        lora=lora, lora_scale=lora_scale,
     )
     text = tokenizer.decode(list(tokens), skip_special_tokens=True)
     text = KeywordsStoppingCriteria([conv.sep], tokenizer).trim(text)

@@ -1,0 +1,108 @@
+"""Analytic forward-FLOP accounting for MFU reporting.
+
+The reference reports nothing but wall-clock (reference: util/misc.py:121-150,
+retrieval_utils.py:278-280); on TPU the driver judges "actually fast" by MFU,
+so the rerank engine counts the FLOPs it dispatches and bench.py divides by
+elapsed time x per-chip peak.
+
+FLOPs model (documented so the numbers can be audited):
+
+  * one multiply-accumulate = 2 FLOPs;
+  * decoder body, per token per layer:
+      q_proj 2*h*(nh*dh) + k,v_proj 2*2*h*(nkv*dh) + o_proj 2*(nh*dh)*h
+      + SwiGLU MLP 3 matmuls = 6*h*i
+    (norms/rotary/elementwise are <0.5% and are ignored);
+  * attention score+PV, per layer: 4*dh*nh*sum(q_len*kv_len) — GQA does not
+    reduce query-side FLOPs;
+  * lm_head (fused chunked-vocab CE computes the same matmul): 2*h*V per
+    scored position;
+  * visual_head + video-vocab bmm (TVG): 2*h*mm + 2*mm*Vv per gathered clip.
+
+Only counted work is dispatched work — padding waste inside a step counts
+(it runs on the MXU), skipped pairs don't.
+"""
+
+from __future__ import annotations
+
+from blim_tpu.core.config import ModelConfig, Qwen2Config
+
+
+def decoder_matmul_flops_per_token(cfg: Qwen2Config) -> float:
+    """Forward matmul FLOPs per token through all decoder layers (no lm_head)."""
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    qo = 4.0 * h * cfg.num_attention_heads * cfg.head_dim
+    kv = 4.0 * h * cfg.num_key_value_heads * cfg.head_dim
+    mlp = 6.0 * h * i
+    return cfg.num_hidden_layers * (qo + kv + mlp)
+
+
+def attention_flops(cfg: Qwen2Config, qkv_terms: float) -> float:
+    """Score+PV FLOPs for qkv_terms = sum over sequences of q_len*kv_len."""
+    return 4.0 * cfg.head_dim * cfg.num_attention_heads * cfg.num_hidden_layers * qkv_terms
+
+
+def lm_head_flops(cfg: Qwen2Config, positions: float) -> float:
+    return 2.0 * cfg.hidden_size * cfg.vocab_size * positions
+
+
+def causal_self_attn_terms(seq_len: int) -> float:
+    """sum_{q=1..S} q for a causal self-attention forward over S tokens."""
+    return seq_len * (seq_len + 1) / 2.0
+
+
+def suffix_attn_terms(width: int, prefix_len: int) -> float:
+    """Suffix of `width` tokens attending to a prefix KV of `prefix_len`
+    plus itself causally."""
+    return width * prefix_len + causal_self_attn_terms(width)
+
+
+def full_forward_flops(cfg: Qwen2Config, batch: int, seq_len: int,
+                       lm_positions: float = 0.0) -> float:
+    """One full-sequence causal forward of `batch` sequences of seq_len."""
+    return (
+        batch * seq_len * decoder_matmul_flops_per_token(cfg)
+        + attention_flops(cfg, batch * causal_self_attn_terms(seq_len))
+        + lm_head_flops(cfg, batch * lm_positions)
+    )
+
+
+def prefix_forward_flops(cfg: Qwen2Config, batch: int, prefix_len: int) -> float:
+    """Prefix-KV forward: full causal body, no lm_head."""
+    return full_forward_flops(cfg, batch, prefix_len)
+
+
+def suffix_forward_flops(cfg: Qwen2Config, batch: int, width: int,
+                         prefix_len: int, lm_positions: float = 0.0) -> float:
+    """Suffix forward against cached prefix KV."""
+    return (
+        batch * width * decoder_matmul_flops_per_token(cfg)
+        + attention_flops(cfg, batch * suffix_attn_terms(width, prefix_len))
+        + lm_head_flops(cfg, batch * lm_positions)
+    )
+
+
+def tvg_head_flops(config: ModelConfig, clips: float, vocab_videos: int) -> float:
+    """visual_head projection + video-vocab bmm per gathered clip token."""
+    h, mm = config.llm.hidden_size, config.mm_hidden_size
+    return clips * (2.0 * h * mm + 2.0 * mm * vocab_videos)
+
+
+# v5e-1 peak dense bf16 throughput; used for MFU. Keyed on device_kind.
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,        # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def peak_flops_per_chip(device) -> float | None:
+    """Peak bf16 FLOP/s for a jax device, or None when unknown (CPU)."""
+    kind = getattr(device, "device_kind", "")
+    for key, val in PEAK_BF16_FLOPS.items():
+        if kind.startswith(key):
+            return val
+    return None

@@ -103,6 +103,47 @@ def test_left_padded_prompt(tiny, rng):
     np.testing.assert_array_equal(t_pad, t_dense)
 
 
+def test_lora_threads_through_generation(tiny, rng):
+    """A fine-tuned model must generate through its adapters (VERDICT r1 #3:
+    generation silently dropped LoRA). scale-0 LoRA == base greedy output;
+    nonzero LoRA must match a full-sequence LoRA'd argmax rollout exactly."""
+    from blim_tpu.adapters.lora import LoraConfig, init_llm_lora
+
+    _, cfg, params = tiny
+    lcfg = LoraConfig(r=4, alpha=8)
+    lora = init_llm_lora(jax.random.key(3), cfg, lcfg)
+    # B starts at zero => make the adapter a real perturbation
+    lora = jax.tree_util.tree_map(
+        lambda x: x + 0.05 * jax.random.normal(jax.random.key(4), x.shape), lora
+    )
+
+    ids = list(rng.integers(0, 128, size=6))
+    emb = qwen2.embed_tokens(params, jnp.asarray([ids]))
+    mask = jnp.ones((1, len(ids)), jnp.int32)
+
+    base = np.asarray(generation.generate_tokens(
+        params, cfg, emb, mask, 5, eos_token_ids=[999]))
+    zero_scale = np.asarray(generation.generate_tokens(
+        params, cfg, emb, mask, 5, eos_token_ids=[999], lora=lora, lora_scale=0.0))
+    np.testing.assert_array_equal(zero_scale, base)
+
+    # full-sequence LoRA'd rollout = ground truth for the KV-cache loop
+    scale = lcfg.scale
+    rollout = []
+    cur = list(ids)
+    for _ in range(5):
+        logits = qwen2.forward_logits(
+            params, cfg, jnp.asarray([cur]), lora=lora, lora_scale=scale)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        rollout.append(nxt)
+        cur.append(nxt)
+
+    with_lora = np.asarray(generation.generate_tokens(
+        params, cfg, emb, mask, 5, eos_token_ids=[999], lora=lora, lora_scale=scale))
+    assert list(with_lora[0]) == rollout
+    assert list(with_lora[0]) != list(base[0]), "LoRA perturbation must change the output"
+
+
 def test_keywords_trim():
     crit = generation.KeywordsStoppingCriteria(["<|im_end|>"], None)
     assert crit.trim("hello world<|im_end|>\nextra") == "hello world"
