@@ -182,22 +182,44 @@ def main():
         ),
     }
 
-    def build_engine(finetuned):
+    def build_engine(finetuned, m):
+        # feature residency must match between the warmup (small upload) and
+        # the measured run (m videos), else the warmup compiles the wrong
+        # step variant: pin the engine to the mode the big run will use
+        feat_bytes = m * cfg.num_clips * cfg.tokens_per_clip * cfg.mm_hidden_size * 2
+        auto_budget = float("inf") if args.tiny else 256 * 2**20
+        budget = 0 if feat_bytes > auto_budget else None
         return RerankEngine(
             params, cfg, layout, tvg_layout if finetuned else None, mesh,
             batch_size=args.batch, groups_per_step=args.groups,
             prior_batch=args.prior_batch,
             lora=lora if finetuned else None,
             lora_scale=lcfg.scale if finetuned else 0.0,
+            max_device_feature_bytes=budget,
         )
 
+    def warmup_with_retry(fn, attempts=4):
+        """The remote compile helper intermittently 500s (TPU_WORKER_HOSTNAMES
+        race); compiles are cached, so retrying is cheap."""
+        for i in range(attempts):
+            try:
+                return fn()
+            except Exception as e:
+                transient = "remote_compile" in repr(e) or "HTTP 500" in repr(e)
+                if not transient or i == attempts - 1:
+                    raise
+                print(f"# transient compile failure (attempt {i + 1}): retrying",
+                      file=sys.stderr)
+                time.sleep(10)
+
     def measure(finetuned, m, trials):
-        engine = build_engine(finetuned)
+        engine = build_engine(finetuned, m)
         # warmup/compile on a reduced problem (step shapes are size-independent)
         nw = min(m, max(2 * args.topk, args.batch))
-        evaluation(engine, make_inputs(nw), tok, dataset, topk=args.topk,
-                   cpn=not args.no_cpn, has_tvg=finetuned, verbose=False,
-                   shared_prefix=not args.naive)
+        warmup_with_retry(lambda: evaluation(
+            engine, make_inputs(nw), tok, dataset, topk=args.topk,
+            cpn=not args.no_cpn, has_tvg=finetuned, verbose=False,
+            shared_prefix=not args.naive))
         elapsed, flops, t2v, v2t = run_flow(
             engine, make_inputs(m), tok, dataset, args.topk,
             not args.no_cpn, finetuned, args.naive, trials,

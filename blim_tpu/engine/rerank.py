@@ -208,6 +208,7 @@ class RerankEngine:
         use_pallas: Optional[bool] = None,
         groups_per_step: int = 2,
         prior_batch: int = 64,
+        max_device_feature_bytes: Optional[int] = None,
     ):
         self.config = config
         self.vtg_layout = vtg_layout
@@ -224,6 +225,20 @@ class RerankEngine:
         # analytic forward-FLOP counter (see blim_tpu/utils/flops.py for the
         # model); incremented at every dispatch site, read by bench.py for MFU
         self.flops = 0.0
+        # device budget for the resident video-feature bank. A 7B bf16 leaves
+        # ~500MB of a v5e's 15.75GB HBM; a 1000-video MSRVTT bank is 524MB, so
+        # on a single TPU chip large banks stay on host and stream per step
+        # (the transfers overlap async dispatch). CPU/tests: unlimited.
+        if max_device_feature_bytes is None:
+            platform = jax.devices()[0].platform
+            if platform != "tpu":
+                max_device_feature_bytes = float("inf")
+            else:
+                # the bank is replicated, but TP shrinks each chip's weight
+                # share, freeing HBM for features
+                tp = dict(mesh.shape).get("model", 1)
+                max_device_feature_bytes = 256 * 2**20 * tp
+        self.max_device_feature_bytes = max_device_feature_bytes
 
         self._replicated = NamedSharding(mesh, P())
         self._pair_sharded = NamedSharding(mesh, P(DATA_AXIS))
@@ -254,7 +269,7 @@ class RerankEngine:
                 video_start=vtg_layout.video_start,
                 position_offset=vtg_layout.prefix_len,
             ),
-            static_argnames=("width",),
+            static_argnames=("width", "video_direct"),
         )
         self._vtg_prior_step = jax.jit(
             functools.partial(
@@ -291,16 +306,25 @@ class RerankEngine:
         """Put a caption bank + the video feature bank into (replicated) HBM.
         Features are stored at the model's compute dtype (bf16 on TPU) — they
         are cached as fp16 on disk anyway, and fp32 residency doubles the HBM
-        cost of large vocabularies."""
+        cost of large vocabularies.
+
+        Banks too large for the device budget (a 7B bf16 leaves ~500MB on one
+        v5e) stay on host as fp16 under the "feats_host" key; the shared-prefix
+        VTG path then streams each step's gathered videos to the device (the
+        async dispatch loop overlaps the transfers with compute)."""
         feat_dtype = self.params["llm"]["embed_tokens"]["embedding"].dtype
         if not jnp.issubdtype(feat_dtype, jnp.floating):
             feat_dtype = jnp.float32
+        feat_bytes = features.size * (2 if feat_dtype != jnp.float32 else 4)
         dev = {
             "ids": jax.device_put(jnp.asarray(bank.input_ids), self._replicated),
             "attn": jax.device_put(jnp.asarray(bank.attention_mask), self._replicated),
             "cpn": jax.device_put(jnp.asarray(bank.cpn_mask), self._replicated),
-            "feats": jax.device_put(jnp.asarray(features, feat_dtype), self._replicated),
         }
+        if feat_bytes <= self.max_device_feature_bytes:
+            dev["feats"] = jax.device_put(jnp.asarray(features, feat_dtype), self._replicated)
+        else:
+            dev["feats_host"] = np.asarray(features, np.float16)
         if bank.window_labels is not None:
             dev["labels"] = jax.device_put(jnp.asarray(bank.window_labels), self._replicated)
         if bank.suffix_ids is not None:
@@ -365,14 +389,21 @@ class RerankEngine:
         return score, prior
 
     def _vtg_shared_step_impl(
-        self, params, lora, banks, prefix_ids, prefix_mask, vid_idx, cap_idx,
+        self, params, lora, banks, prefix_ids, prefix_mask, vid_or_idx, cap_idx,
         *, video_start: int, position_offset: int, width: int,
+        video_direct: bool = False,
     ):
         """Shared-prefix scoring: prefix KV once per video (G videos), then
-        K caption suffixes per video. vid_idx (G,), cap_idx (G, K).
+        K caption suffixes per video. cap_idx (G, K); vid_or_idx is either
+        vid indices (G,) gathered from the device bank, or — when the bank
+        streams from host (video_direct) — the features themselves.
         `width` (static) slices the suffix to the group's length bucket —
         short captions don't pay for the full caption budget."""
-        video = jnp.take(banks["feats"], vid_idx, axis=0)
+        if video_direct:
+            feat_dtype = params["llm"]["embed_tokens"]["embedding"].dtype
+            video = vid_or_idx.astype(feat_dtype)
+        else:
+            video = jnp.take(banks["feats"], vid_or_idx, axis=0)
         g, k = cap_idx.shape
         prefix = jnp.broadcast_to(prefix_ids[None], (g, prefix_ids.shape[0]))
         pmask = jnp.broadcast_to(prefix_mask[None], prefix.shape)
@@ -469,11 +500,13 @@ class RerankEngine:
         n_passes = 2 if with_prior else 1
         V = int(video_vocab.shape[0])
         llm = self.config.llm
+        self._require_device_feats(banks, "TVG shared-prefix scoring")
+        dev_banks = self._dev_banks(banks)
         for s in range(0, m_pad, G):
             ci = jax.device_put(jnp.asarray(g_cap[s : s + G]), gs1)
             vi = jax.device_put(jnp.asarray(g_vid[s : s + G]), gs2)
             pending.append((s, self._tvg_shared_step(
-                self.params, self.lora, banks, video_vocab, ci, vi, with_prior=with_prior
+                self.params, self.lora, dev_banks, video_vocab, ci, vi, with_prior=with_prior
             )))
             self.flops += n_passes * (
                 flops_lib.prefix_forward_flops(llm, G, P_tvg)
@@ -549,6 +582,22 @@ class RerankEngine:
     def reset_flops(self) -> None:
         self.flops = 0.0
 
+    @staticmethod
+    def _dev_banks(banks: Dict[str, Any]) -> Dict[str, Any]:
+        """The device-traced view of a bank: host-side arrays (suffix lengths
+        for bucketing, a host-resident feature bank) never enter jit args."""
+        return {k: v for k, v in banks.items() if not k.endswith("_host")}
+
+    @staticmethod
+    def _require_device_feats(banks: Dict[str, Any], path: str) -> None:
+        if "feats" not in banks:
+            raise RuntimeError(
+                f"{path} needs the device-resident feature bank, but it exceeded "
+                "max_device_feature_bytes and stayed on host. Evaluate fewer "
+                "items per pass, raise the budget (more HBM / TP sharding), or "
+                "use the shared-prefix VTG path which streams features."
+            )
+
     def _process_shard(self, n_groups: int) -> Tuple[int, int]:
         """Contiguous group range for this host — the multi-host analogue of
         the reference's rank row-sharding (retrieval_utils.py:213-215).
@@ -612,13 +661,21 @@ class RerankEngine:
             P_len = int(prefix_ids.shape[0])
             k = int(g_cap.shape[1]) if len(g_cap) else topk
             llm = self.config.llm
+            stream = "feats" not in banks
+            gs4 = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
+            dev_banks = self._dev_banks(banks)
             for s in range(0, m_pad, G):
                 sl = sel[s : s + G]
-                vi = jax.device_put(jnp.asarray(g_vid[sl]), gs1)
+                if stream:
+                    # host-resident bank: gather this step's videos on host
+                    # and stream them in (fp16, cast on device)
+                    vi = jax.device_put(banks["feats_host"][g_vid[sl]], gs4)
+                else:
+                    vi = jax.device_put(jnp.asarray(g_vid[sl]), gs1)
                 ci = jax.device_put(jnp.asarray(g_cap[sl]), gs2)
                 out = self._vtg_shared_step(
-                    self.params, self.lora, banks, prefix_ids, prefix_mask, vi, ci,
-                    width=int(b),
+                    self.params, self.lora, dev_banks, prefix_ids, prefix_mask, vi, ci,
+                    width=int(b), video_direct=stream,
                 )
                 self.flops += flops_lib.prefix_forward_flops(llm, G, P_len)
                 self.flops += flops_lib.suffix_forward_flops(
@@ -656,7 +713,8 @@ class RerankEngine:
             for s in range(0, padded, B):
                 ci = jax.device_put(jnp.asarray(sel[s : s + B]), pair_sharding)
                 out = self._vtg_prior_step(
-                    self.params, self.lora, banks, prior_kv, prior_mask, ci, width=int(b)
+                    self.params, self.lora, self._dev_banks(banks),
+                    prior_kv, prior_mask, ci, width=int(b)
                 )
                 self.flops += flops_lib.suffix_forward_flops(
                     self.config.llm, B, int(b), P_prior, lm_positions=int(b) - 1
@@ -735,9 +793,11 @@ class RerankEngine:
         step_flops = (2 if with_prior else 1) * flops_lib.full_forward_flops(
             self.config.llm, self.batch_size, T, lm_positions=wl
         )
+        self._require_device_feats(banks, "naive VTG scoring")
         scores, priors = self._run_pairs(
             self._vtg_step, len(rows), cap_idx, vid_idx,
-            (self.params, self.lora, banks), with_prior, step_flops=step_flops,
+            (self.params, self.lora, self._dev_banks(banks)), with_prior,
+            step_flops=step_flops,
         )
         mat = np.full(out_shape, fill, np.float32)
         mat[rows, cols] = scores
@@ -767,9 +827,11 @@ class RerankEngine:
                 int(video_vocab.shape[0]),
             )
         )
+        self._require_device_feats(banks, "naive TVG scoring")
         scores, priors = self._run_pairs(
             self._tvg_step, len(rows), cap_idx, vid_idx,
-            (self.params, self.lora, banks, video_vocab), with_prior, step_flops=step_flops,
+            (self.params, self.lora, self._dev_banks(banks), video_vocab), with_prior,
+            step_flops=step_flops,
         )
         mat = np.full(out_shape, fill, np.float32)
         mat[rows, cols] = scores

@@ -127,3 +127,37 @@ def test_e2e_zeroshot_gating(setup, tokenizer):
     )
     assert set(res) == {"internvideo2", "candidate_likelihood", "query_likelihood",
                         "cpn_candidate_likelihood", "blim"}
+
+
+def test_e2e_host_streamed_features_match_resident(setup, tokenizer):
+    """When the feature bank exceeds the device budget it stays on host
+    (fp16) and streams per step; scores must match the device-resident path
+    to fp16-quantization tolerance. (v5e-1: 7B weights leave ~500MB HBM, a
+    1000-video bank is 524MB — this is the production single-chip mode.)"""
+    cfg, params, inputs, vtg_l, tvg_l = setup
+    mesh = make_mesh(devices=jax.devices()[:2])
+
+    resident = RerankEngine(params, cfg, vtg_l, None, mesh, batch_size=2)
+    streamed = RerankEngine(params, cfg, vtg_l, None, mesh, batch_size=2,
+                            max_device_feature_bytes=0)
+    t2v_r, v2t_r = evaluation(resident, inputs, tokenizer, "MSRVTT",
+                              topk=TOPK, cpn=True, has_tvg=False, verbose=False)
+    t2v_s, v2t_s = evaluation(streamed, inputs, tokenizer, "MSRVTT",
+                              topk=TOPK, cpn=True, has_tvg=False, verbose=False)
+    for k in v2t_r:
+        np.testing.assert_allclose(v2t_s[k], v2t_r[k], rtol=2e-3, atol=5e-3, err_msg=k)
+    for k in t2v_r:
+        np.testing.assert_allclose(t2v_s[k], t2v_r[k], rtol=2e-3, atol=5e-3, err_msg=k)
+    assert streamed.flops > 0 and abs(streamed.flops - resident.flops) < 1e-6 * resident.flops
+
+
+def test_e2e_tvg_requires_device_feats(setup, tokenizer):
+    """The TVG path needs the device bank; a host-streamed bank must raise an
+    actionable error instead of silently uploading 500MB."""
+    cfg, params, inputs, vtg_l, tvg_l = setup
+    mesh = make_mesh(devices=jax.devices()[:1])
+    engine = RerankEngine(params, cfg, vtg_l, tvg_l, mesh, batch_size=2,
+                          max_device_feature_bytes=0)
+    with pytest.raises(RuntimeError, match="device-resident feature bank"):
+        evaluation(engine, inputs, tokenizer, "MSRVTT",
+                   topk=TOPK, cpn=False, has_tvg=True, verbose=False)
