@@ -63,6 +63,6 @@ def process_shard_bounds(n: int, num_shards: int, shard: int) -> tuple[int, int]
     (reference: retrieval_utils.py:213-215): step = n // num_shards + 1.
     """
     step = n // num_shards + 1
-    start = shard * step
+    start = min(shard * step, n)
     end = min(n, start + step)
     return start, max(start, end)
