@@ -1,0 +1,119 @@
+"""Pallas flash-attention kernel parity (interpret mode on CPU).
+
+Forward AND the fused FA2-style backward must match the XLA reference
+formulation — the reference capability is flash-attn 2.7.4's fused fwd+bwd
+(reference: setup.sh:7, modeling_qwen2_flash.py:528-628). Gradient parity is
+the round-2 requirement (VERDICT #3): previously the backward re-derived
+grads through a full XLA recompute.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from blim_tpu.kernels.attention import _xla_attention
+from blim_tpu.kernels import flash_attention as fa
+
+B, S, HQ, HKV, D = 1, 256, 16, 4, 128
+
+
+def make_inputs(rng, s=S, dtype=jnp.float32):
+    q = jnp.asarray(rng.standard_normal((B, s, HQ, D)), dtype) * 0.3
+    k = jnp.asarray(rng.standard_normal((B, s, HKV, D)), dtype) * 0.3
+    v = jnp.asarray(rng.standard_normal((B, s, HKV, D)), dtype) * 0.3
+    return q, k, v
+
+
+def masks(rng, s=S):
+    key_mask = (rng.random((B, s)) > 0.2).astype(np.int32)   # CPN-like holes
+    query_mask = np.ones((B, s), np.int32)
+    query_mask[:, -7:] = 0                                    # right padding
+    key_mask[:, -7:] = 0
+    return jnp.asarray(key_mask), jnp.asarray(query_mask)
+
+
+def flash(q, k, v, km=None, qm=None, causal=True):
+    return fa.flash_attention(
+        q, k, v, key_mask=km, query_mask=qm, causal=causal, interpret=True
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("causal", [True, False])
+def test_forward_parity_masked(rng, causal):
+    q, k, v = make_inputs(rng)
+    km, qm = masks(rng)
+    ours = flash(q, k, v, km, qm, causal=causal)
+    ref = _xla_attention(q, k, v, km, qm, causal, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_forward_parity_dense_causal(rng):
+    q, k, v = make_inputs(rng)
+    ours = flash(q, k, v)
+    ref = _xla_attention(q, k, v, None, None, True, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_forward_unaligned_seq_pads(rng):
+    """S=200 is not a block multiple: the wrapper pads with masked tokens and
+    slices the output — the production rerank/train shapes (341/440) rely on
+    this instead of falling back to XLA."""
+    q, k, v = make_inputs(rng, s=200)
+    km, qm = masks(rng, s=200)
+    ours = flash(q, k, v, km, qm)
+    assert ours.shape == (B, 200, HQ, D)
+    ref = _xla_attention(q, k, v, km, qm, True, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("with_masks", [False, True])
+def test_fused_backward_gradient_parity(rng, with_masks):
+    """dq/dk/dv from the Pallas dq/dkv kernels == XLA VJP."""
+    q, k, v = make_inputs(rng)
+    km, qm = masks(rng) if with_masks else (None, None)
+    w = jnp.asarray(rng.standard_normal((B, S, HQ, D)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash(q, k, v, km, qm) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, km, qm, True, D ** -0.5) * w)
+
+    g_ours = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for ours, ref, name in zip(g_ours, g_ref, ["dq", "dk", "dv"]):
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), rtol=5e-4, atol=5e-4, err_msg=name
+        )
+
+
+@pytest.mark.slow
+def test_fused_backward_unaligned_and_bf16(rng):
+    """Training shape class: unaligned S, bf16 inputs (tolerances widen)."""
+    s = 200
+    q, k, v = make_inputs(rng, s=s, dtype=jnp.bfloat16)
+    km, qm = masks(rng, s=s)
+    w = jnp.asarray(rng.standard_normal((B, s, HQ, D)), jnp.float32)
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum(fn(q, k, v).astype(jnp.float32) * w)
+        return f
+
+    g_ours = jax.grad(loss(lambda q, k, v: flash(q, k, v, km, qm)), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(
+        loss(lambda q, k, v: _xla_attention(q, k, v, km, qm, True, D ** -0.5)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for ours, ref, name in zip(g_ours, g_ref, ["dq", "dk", "dv"]):
+        np.testing.assert_allclose(
+            np.asarray(ours, np.float32), np.asarray(ref, np.float32),
+            rtol=0.1, atol=0.05, err_msg=name,
+        )
