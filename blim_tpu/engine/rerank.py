@@ -664,6 +664,11 @@ class RerankEngine:
             stream = "feats" not in banks
             gs4 = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
             dev_banks = self._dev_banks(banks)
+            def consume(sl, out):
+                out = np.asarray(out, np.float32)
+                for gi, gidx in enumerate(sl):
+                    scores[g_pos[gidx]] = out[gi]
+
             for s in range(0, m_pad, G):
                 sl = sel[s : s + G]
                 if stream:
@@ -682,10 +687,13 @@ class RerankEngine:
                     llm, G * k, int(b), P_len, lm_positions=int(b) - 1
                 )
                 pending.append((sl[: min(G, m - s)], out))
+                # streamed mode: bound in-flight steps — each holds its video
+                # buffers in HBM until consumed, and the ~500MB headroom next
+                # to the 7B fits only a small window
+                if stream and len(pending) >= 8:
+                    consume(*pending.pop(0))
         for sl, out in pending:
-            out = np.asarray(out, np.float32)
-            for gi, gidx in enumerate(sl):
-                scores[g_pos[gidx]] = out[gi]
+            consume(sl, out)
         return self._allreduce_scores(scores)
 
     def compute_vtg_priors(self, banks: Dict[str, jax.Array]) -> np.ndarray:

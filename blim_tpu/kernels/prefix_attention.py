@@ -1,11 +1,21 @@
-"""Pallas kernel: suffix attention over a shared prefix KV.
+"""Pallas kernel: suffix attention over a shared prefix KV (fused-K design).
 
 The shared-prefix rerank path attends K short caption suffixes to one video
 prefix per group. The XLA formulation materializes fp32 score tensors
-(G,K,H,W,P) in HBM — at 7B scale that is ~1.3 GB written+read per layer and
-dominates the step time. This kernel streams prefix KV blocks through VMEM
-with online-softmax accumulation (flash attention with a two-source KV:
-[prefix blocks | own suffix]), so scores never touch HBM.
+(G,K,H,W,P) in HBM; this kernel keeps them in VMEM.
+
+Round-1 design (one suffix per program) lost 2x to XLA: each program did one
+(W<=40, hd) q tile — terrible MXU occupancy — and re-streamed the prefix KV
+K times per head. This round fuses a group's K suffixes into one program:
+
+  * grid (G, Hq) — per program, the q tile is all K suffixes stacked,
+    (K*W, hd): 512 MXU rows at K=32, W=16 instead of 16;
+  * the whole prefix KV for the head's GQA group loads once into VMEM
+    (P~350 x 128 bf16 = 88KB) — no K-fold re-streaming, no streaming loop;
+  * prefix scores (K*W, P) live only in VMEM; two-source online-softmax
+    merge with the per-suffix causal block (K, W, W) batched matmul;
+  * P and W pad to sublane multiples inside the wrapper (masked), so exact
+    rerank shapes (P=341, W=16/24/99) engage without layout changes.
 
 Semantics (must match qwen2._grouped_prefix_attention):
   * prefix keys gated by prefix_mask (padding / CPN priors);
@@ -13,7 +23,9 @@ Semantics (must match qwen2._grouped_prefix_attention):
   * masked suffix queries emit zero output (varlen re-pad semantics);
   * softmax in fp32, PV matmuls in the value dtype.
 
-Backward: custom VJP through the XLA formulation (identical math).
+Backward: custom VJP through the XLA formulation — exact, and scoring (the
+only consumer) never differentiates through this path; training runs full
+sequences through flash_attention's fused backward instead.
 """
 
 from __future__ import annotations
@@ -28,113 +40,125 @@ from jax.experimental import pallas as pl
 NEG_INF = -1e30
 
 
-def _kernel(
-    q_ref,        # (1, 1, 1, W, hd)
+def _fused_kernel(
+    q_ref,        # (1, 1, K, W, hd)
     kp_ref,       # (1, 1, P, hd)
     vp_ref,       # (1, 1, P, hd)
-    ks_ref,       # (1, 1, 1, W, hd)
-    vs_ref,       # (1, 1, 1, W, hd)
-    pmask_ref,    # (1, 1, P)
-    smask_ref,    # (1, 1, 1, W)
-    o_ref,        # (1, 1, 1, W, hd)
+    ks_ref,       # (1, 1, K, W, hd)
+    vs_ref,       # (1, 1, K, W, hd)
+    pmask_ref,    # (1, 1, P) int32
+    smask_ref,    # (1, 1, K, W) int32
+    o_ref,        # (1, 1, K, W, hd)
     *,
-    blk_p: int,
-    prefix_len: int,
-    w: int,
     scale: float,
 ):
-    q = q_ref[0, 0, 0, :, :].astype(jnp.float32) * scale        # (W, hd)
-    hd = q.shape[-1]
+    kk, w, hd = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
+    p_len = kp_ref.shape[2]
 
-    n_blocks = prefix_len // blk_p
+    q = q_ref[0, 0].astype(jnp.float32) * scale            # (K, W, hd)
+    qf = q.reshape(kk * w, hd)
 
-    def body(pi, carry):
-        acc, m_prev, l_prev = carry
-        k_blk = kp_ref[0, 0, pl.ds(pi * blk_p, blk_p), :].astype(jnp.float32)
-        v_blk = vp_ref[0, 0, pl.ds(pi * blk_p, blk_p), :]
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (W, blk_p)
-        pm = pmask_ref[0, 0, pl.ds(pi * blk_p, blk_p)].reshape(1, blk_p)
-        s = jnp.where(pm > 0, s, NEG_INF)
-
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return acc, m_new, l_new
-
-    acc0 = jnp.zeros((w, hd), jnp.float32)
-    m0 = jnp.full((w, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((w, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
-
-    # suffix block: causal + key mask
-    ks = ks_ref[0, 0, 0, :, :].astype(jnp.float32)               # (W, hd)
-    vs = vs_ref[0, 0, 0, :, :]
-    s = jax.lax.dot_general(
-        q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (W, W)
-    sm = smask_ref[0, 0, 0, :].reshape(1, w)
-    qpos = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
-    visible = jnp.logical_and(qpos >= kpos, sm > 0)
-    s = jnp.where(visible, s, NEG_INF)
-
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m, m_cur)
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m - m_new)
-    l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc = acc * alpha + jax.lax.dot_general(
-        p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
+    # -- prefix source: one (K*W, P) score tile, whole prefix KV in VMEM
+    kp = kp_ref[0, 0].astype(jnp.float32)                  # (P, hd)
+    vp = vp_ref[0, 0]                                      # (P, hd)
+    s1 = jax.lax.dot_general(
+        qf, kp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                      # (K*W, P)
+    pm = pmask_ref[0, 0].reshape(1, p_len)
+    s1 = jnp.where(pm > 0, s1, NEG_INF)
+    m1 = jnp.max(s1, axis=-1, keepdims=True)
+    p1 = jnp.exp(s1 - m1)
+    l1 = jnp.sum(p1, axis=-1, keepdims=True)
+    acc1 = jax.lax.dot_general(
+        p1.astype(vp.dtype), vp, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )                                                      # (K*W, hd)
 
+    # -- suffix source: per-suffix causal block, batched over K
+    ks = ks_ref[0, 0].astype(jnp.float32)                  # (K, W, hd)
+    vs = vs_ref[0, 0]
+    s2 = jax.lax.dot_general(
+        q, ks, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )                                                      # (K, W, W)
+    sm = smask_ref[0, 0].reshape(kk, 1, w)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (kk, w, w), 1)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (kk, w, w), 2)
+    visible = jnp.logical_and(qpos >= kpos, sm > 0)
+    s2 = jnp.where(visible, s2, NEG_INF)
+    m2 = jnp.max(s2, axis=-1, keepdims=True)               # (K, W, 1)
+    p2 = jnp.exp(s2 - m2)
+    l2 = jnp.sum(p2, axis=-1, keepdims=True)
+    acc2 = jax.lax.dot_general(
+        p2.astype(vs.dtype), vs, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                      # (K, W, hd)
+
+    # -- two-source online-softmax merge
+    m1r = m1.reshape(kk, w, 1)
+    l1r = l1.reshape(kk, w, 1)
+    acc1r = acc1.reshape(kk, w, hd)
+    m = jnp.maximum(m1r, m2)
+    a1 = jnp.exp(m1r - m)
+    a2 = jnp.exp(m2 - m)
+    l = l1r * a1 + l2 * a2
+    acc = acc1r * a1 + acc2 * a2
     out = acc / jnp.maximum(l, 1e-30)
-    qm = smask_ref[0, 0, 0, :].reshape(w, 1).astype(jnp.float32)
-    o_ref[0, 0, 0, :, :] = (out * qm).astype(o_ref.dtype)
+
+    qm = smask_ref[0, 0].reshape(kk, w, 1).astype(jnp.float32)
+    o_ref[0, 0] = (out * qm).astype(o_ref.dtype)
 
 
-def _pallas_forward(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale, blk_p):
+def _pallas_forward(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale):
     g, kk, w, hq, hd = q.shape
     hkv = k_pre.shape[2]
     group = hq // hkv
     p_len = k_pre.shape[1]
 
-    grid = (g, hq, kk)
-    kernel = functools.partial(
-        _kernel, blk_p=blk_p, prefix_len=p_len, w=w, scale=scale
-    )
+    # pad P and W to sublane multiples (masked-off, so semantics-free)
+    def pad_to(x, mult, axis):
+        pad = (-x.shape[axis]) % mult
+        if pad == 0:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths)
+
+    k_pre = pad_to(k_pre, 16, 1)
+    v_pre = pad_to(v_pre, 16, 1)
+    prefix_mask = pad_to(prefix_mask, 16, 1)
+    q = pad_to(q, 8, 2)
+    k_suf = pad_to(k_suf, 8, 2)
+    v_suf = pad_to(v_suf, 8, 2)
+    suffix_mask = pad_to(suffix_mask, 8, 2)
+    p_pad = k_pre.shape[1]
+    w_pad = q.shape[2]
+
+    grid = (g, hq)
     out = pl.pallas_call(
-        kernel,
+        functools.partial(_fused_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 1, w, hd), lambda gi, hi, ki: (gi, ki, hi, 0, 0)),
-            pl.BlockSpec((1, 1, p_len, hd), lambda gi, hi, ki: (gi, hi // group, 0, 0)),
-            pl.BlockSpec((1, 1, p_len, hd), lambda gi, hi, ki: (gi, hi // group, 0, 0)),
-            pl.BlockSpec((1, 1, 1, w, hd), lambda gi, hi, ki: (gi, ki, hi // group, 0, 0)),
-            pl.BlockSpec((1, 1, 1, w, hd), lambda gi, hi, ki: (gi, ki, hi // group, 0, 0)),
-            pl.BlockSpec((1, 1, p_len), lambda gi, hi, ki: (gi, 0, 0)),
-            pl.BlockSpec((1, 1, 1, w), lambda gi, hi, ki: (gi, ki, 0, 0)),
+            pl.BlockSpec((1, 1, kk, w_pad, hd), lambda gi, hi: (gi, hi, 0, 0, 0)),
+            pl.BlockSpec((1, 1, p_pad, hd), lambda gi, hi: (gi, hi // group, 0, 0)),
+            pl.BlockSpec((1, 1, p_pad, hd), lambda gi, hi: (gi, hi // group, 0, 0)),
+            pl.BlockSpec((1, 1, kk, w_pad, hd), lambda gi, hi: (gi, hi // group, 0, 0, 0)),
+            pl.BlockSpec((1, 1, kk, w_pad, hd), lambda gi, hi: (gi, hi // group, 0, 0, 0)),
+            pl.BlockSpec((1, 1, p_pad), lambda gi, hi: (gi, 0, 0)),
+            pl.BlockSpec((1, 1, kk, w_pad), lambda gi, hi: (gi, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, w, hd), lambda gi, hi, ki: (gi, ki, hi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((g, kk, hq, w, hd), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, kk, w_pad, hd), lambda gi, hi: (gi, hi, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, hq, kk, w_pad, hd), q.dtype),
     )(
-        q.transpose(0, 1, 3, 2, 4),        # (G, K, Hq, W, hd)
+        q.transpose(0, 3, 1, 2, 4),        # (G, Hq, K, W, hd)
         k_pre.transpose(0, 2, 1, 3),       # (G, Hkv, P, hd)
         v_pre.transpose(0, 2, 1, 3),
-        k_suf.transpose(0, 1, 3, 2, 4),    # (G, K, Hkv, W, hd)
-        v_suf.transpose(0, 1, 3, 2, 4),
+        k_suf.transpose(0, 3, 1, 2, 4),    # (G, Hkv, K, W, hd)
+        v_suf.transpose(0, 3, 1, 2, 4),
         prefix_mask[:, None, :],
-        suffix_mask[:, :, None, :],
+        suffix_mask[:, None, :, :].transpose(0, 1, 2, 3),
     )
-    return out.transpose(0, 1, 3, 2, 4)    # back to (G, K, W, Hq, hd)
+    out = out.transpose(0, 2, 3, 1, 4)     # (G, K, W_pad, Hq, hd)
+    return out[:, :, :w]
 
 
 def _xla_reference(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale):
@@ -145,17 +169,17 @@ def _xla_reference(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scal
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _prefix_attention(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale, blk_p):
-    return _pallas_forward(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale, blk_p)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _prefix_attention(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale):
+    return _pallas_forward(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale)
 
 
-def _fwd(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale, blk_p):
-    out = _pallas_forward(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale, blk_p)
+def _fwd(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale):
+    out = _pallas_forward(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale)
     return out, (q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask)
 
 
-def _bwd(scale, blk_p, res, grad):
+def _bwd(scale, res, grad):
     q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask = res
     _, vjp = jax.vjp(
         lambda q_, ks_, vs_, kp_, vp_: _xla_reference(
@@ -180,7 +204,7 @@ def prefix_attention(
     prefix_mask: Optional[jax.Array],   # (G, P) or None (all visible)
     scale: float,
     use_pallas: Optional[bool] = None,
-    blk_p: int = 128,
+    interpret: bool = False,
 ) -> jax.Array:
     g, kk, w, hq, hd = q.shape
     p_len = k_pre.shape[1]
@@ -189,15 +213,26 @@ def prefix_attention(
     prefix_mask = prefix_mask.astype(jnp.int32)
     suffix_mask = suffix_mask.astype(jnp.int32)
     if use_pallas is None:
-        # Measured on v5e: at rerank sizes (W~40, P~384, G~2) the XLA
-        # formulation is ~2x faster than this kernel — per-program work is
-        # tiny (one q tile) and occupancy dominates. The kernel wins only for
-        # long prefixes where the materialized (W, P) scores stop fitting in
-        # cache-friendly tiles; callers opt in explicitly.
+        # default decided by on-device A/B (scripts/abench_attention.py /
+        # scripts/abench_prefix.py); see CLAUDE.md kernel scoreboard
         use_pallas = False
-    # shape constraints for the TPU lowering
-    if use_pallas and (p_len % blk_p == 0 and hd % 128 == 0 and w % 8 == 0):
+    # the fused q tile needs enough rows to feed the MXU, and hd must be a
+    # full lane tile; the VMEM budget bounds K*W and P
+    fits = (
+        hd % 128 == 0
+        and kk * w >= 128
+        and (kk * w) * p_len * 4 <= 8 * 2**20
+        and p_len * hd * 4 <= 2 * 2**20
+    )
+    if use_pallas and fits:
+        if interpret:
+            from jax.experimental.pallas import tpu as pltpu
+
+            with pltpu.force_tpu_interpret_mode():
+                return _prefix_attention(
+                    q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale
+                )
         return _prefix_attention(
-            q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale, blk_p
+            q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale
         )
     return _xla_reference(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale)
