@@ -214,10 +214,22 @@ def main():
 
     def measure(finetuned, m, trials):
         engine = build_engine(finetuned, m)
-        # warmup/compile on a reduced problem (step shapes are size-independent)
+        # warmup/compile on a reduced problem (step shapes are size-independent);
+        # cover EVERY suffix width bucket so bucket-specific compiles/OOMs
+        # surface here, not mid-measurement (a short warmup sample from the
+        # realistic length distribution may never hit the full-width bucket)
         nw = min(m, max(2 * args.topk, args.batch))
+        warm = make_inputs(nw)
+        warm_caps = list(warm.captions)
+        for j, length in enumerate(b - 2 for b in engine.suffix_buckets):
+            if j < len(warm_caps):
+                warm_caps[j] = ("x" * max(length, 4))[:length]
+        warm = EvalInputs(
+            captions=warm_caps, item_video_idx=warm.item_video_idx,
+            features=warm.features, t2v_iv2=warm.t2v_iv2, v2t_iv2=warm.v2t_iv2,
+        )
         warmup_with_retry(lambda: evaluation(
-            engine, make_inputs(nw), tok, dataset, topk=args.topk,
+            engine, warm, tok, dataset, topk=args.topk,
             cpn=not args.no_cpn, has_tvg=finetuned, verbose=False,
             shared_prefix=not args.naive))
         elapsed, flops, t2v, v2t = run_flow(

@@ -281,7 +281,9 @@ class RerankEngine:
         # suffix width buckets: one compiled variant per bucket; a group runs
         # at the smallest bucket covering its longest caption
         full_w = vtg_layout.suffix_width
-        self.suffix_buckets = tuple(sorted({min(16, full_w), min(24, full_w), full_w}))
+        self.suffix_buckets = tuple(
+            sorted({min(16, full_w), min(24, full_w), min(40, full_w), full_w})
+        )
         if tvg_layout is not None:
             self._tvg_step = jax.jit(
                 functools.partial(

@@ -208,6 +208,75 @@ def score_tvg(
 # Interactive generation (generate / chat)
 # ---------------------------------------------------------------------------
 
+def encode_image_tiles(
+    params: Params,                # must include "vision_tower"
+    config: ModelConfig,
+    pixels: jax.Array,             # (N, 3, H, W) — anyres tiles, base first
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """Single-image encode path: each anyres tile runs the tower as a 1-frame
+    clip, ToMe-compresses to 64 tokens, and projects through `mlp`
+    (reference: encode_video_image with compress=False -> 64 tokens/image,
+    mm_projector_builder.py:149-152; num_image_patches_per_side=8).
+    Returns (N, 64, hidden)."""
+    from blim_tpu.models import umt_vit
+
+    n = pixels.shape[0]
+    _, pos_img = umt_vit.build_pos_tables(config.vision)
+    feats = umt_vit.encode_clips(
+        params["vision_tower"], pixels[:, None], jnp.asarray(pos_img, jnp.float32),
+        config.vision, use_pallas=use_pallas,
+    )                                                       # (N, patches, mm)
+    raw = feats.reshape(n, -1, config.mm_hidden_size)
+    compressed = projector_lib.compress_image_tokens(
+        raw, config.vision.num_attention_heads, target=64
+    )
+    return projector_lib.mlp_apply(
+        params["projector"]["mlp"], compressed,
+        lora=None if lora is None else lora["projector"].get("mlp"),
+        lora_scale=lora_scale,
+    )
+
+
+def merge_image_patches(
+    image_feature: jax.Array,      # (N_tiles, 64, hidden) — base tile first
+    image_size,                    # original (width, height)
+    config: ModelConfig,
+    image_grid_pinpoints,
+    image_aspect_ratio: str = "anyres_nopad",
+    mm_patch_merge_type: str = "spatial_nopad",
+) -> jax.Array:
+    """Reassemble anyres tile features into one token sequence
+    (reference: modeling_videochat_flash.py:255-298 'spatial' multi-patch
+    branch): grid tiles view as (nph, npw, 8, 8, C), transpose to raster
+    order, flatten, and prepend the base view. Branches the reference itself
+    leaves unimplemented (maxpool2x2 / unpad / anyres_max) raise."""
+    from blim_tpu.data.images import get_anyres_image_grid_shape
+
+    if image_feature.shape[0] == 1:
+        if "unpad" in mm_patch_merge_type:
+            raise NotImplementedError("unpad newline: unimplemented in the reference path")
+        return image_feature[0]
+    base = image_feature[0]
+    tiles = image_feature[1:]
+    hw = 8  # num_image_patches_per_side (reference: mm_projector_builder.py:96)
+    assert hw * hw == tiles.shape[1], tiles.shape
+    if "anyres" not in image_aspect_ratio:
+        raise NotImplementedError(image_aspect_ratio)
+    npw, nph = get_anyres_image_grid_shape(
+        image_size, image_grid_pinpoints, config.vision.image_size
+    )
+    if "maxpool2x2" in mm_patch_merge_type or "unpad" in mm_patch_merge_type:
+        raise NotImplementedError("unimplemented in the reference path")
+    feat = tiles.reshape(nph, npw, hw, hw, tiles.shape[-1])
+    feat = feat.transpose(0, 2, 1, 3, 4).reshape(-1, tiles.shape[-1])
+    if "nobase" in mm_patch_merge_type:
+        return feat
+    return jnp.concatenate([base, feat], axis=0)
+
+
 def generate(
     params: Params,
     config: ModelConfig,

@@ -121,7 +121,18 @@ def ce_from_hidden(
     full fp32 logit tensor (2.6 GB at B=128, W=34, V=152k — the reference
     materializes exactly that, modeling_qwen2_flash.py:1448-1453).
     Returns (per-token CE fp32, validity mask), like token_ce_from_logits.
+
+    The chunk adapts to the batch: the fp32 logits tile (rows x chunk) is
+    capped at ~128MB so wide suffix buckets (98 scored positions x 64
+    suffixes at the 96-token caption budget) cannot blow the ~500MB HBM
+    headroom left next to the 7B on a single chip.
     """
+    rows = 1
+    for dim in labels.shape:
+        rows *= int(dim)
+    budget = 128 * 2**20
+    max_chunk = max(2048, (budget // (4 * rows)) // 2048 * 2048)
+    chunk = min(chunk, max_chunk)
     V = lm_kernel.shape[1]
     n_chunks = -(-V // chunk)
     pad = n_chunks * chunk - V

@@ -205,7 +205,7 @@ def step_feature_parity(args, params, config):
             lf = config.mm_local_num_frames
             clips = len(pixels) // lf
             pix = jnp.asarray(pixels[: clips * lf].reshape(1, clips, lf, *pixels.shape[1:]))
-            ours = np.asarray(featurize(params["vision_tower"], pix))[0]
+            ours = np.asarray(featurize(pix))[0]
             ref = torch.load(ref_path, map_location="cpu", weights_only=True).float().numpy()
             a = ours.reshape(-1, ours.shape[-1]).astype(np.float64)
             b = ref.reshape(-1, ref.shape[-1]).astype(np.float64)
