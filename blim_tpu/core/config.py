@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,6 +94,14 @@ class ModelConfig:
     vision_encode_type: str = "video_image"
     mm_patch_merge_type: str = "spatial_nopad"
     mm_newline_position: str = "nothing"
+
+    # PyramidDrop in-LLM video-token pruning (reference:
+    # modeling_qwen2_flash.py:1081-1357; config-gated OFF in every BLiM
+    # config via an empty layer list, modeling_videochat_flash.py:340-353)
+    mm_llm_compress: bool = False
+    llm_compress_type: str = "attention"
+    llm_compress_layer_list: Tuple[int, ...] = ()
+    llm_image_token_ratio_list: Tuple[float, ...] = (1.0,)
 
     @property
     def tokens_per_clip(self) -> int:
@@ -176,6 +184,12 @@ def from_hf_config_dict(d: Dict[str, Any]) -> ModelConfig:
         vision_encode_type=d.get("vision_encode_type", "video_image"),
         mm_patch_merge_type=d.get("mm_patch_merge_type", "spatial_nopad"),
         mm_newline_position=d.get("mm_newline_position", "nothing"),
+        mm_llm_compress=bool(d.get("mm_llm_compress", False)),
+        llm_compress_type=d.get("llm_compress_type", "attention"),
+        llm_compress_layer_list=tuple(d.get("llm_compress_layer_list", []) or []),
+        llm_image_token_ratio_list=tuple(
+            d.get("llm_image_token_ratio_list", [1.0]) or [1.0]
+        ),
     )
 
 

@@ -95,6 +95,55 @@ def vtg_hidden(
     )
 
 
+def pdrop_total_dropped(config: ModelConfig) -> int:
+    """Static count of video tokens PyramidDrop removes by the last layer —
+    downstream window offsets (caption region, gather positions) shift by
+    this much when mm_llm_compress is on."""
+    if not config.mm_llm_compress or not config.llm_compress_layer_list:
+        return 0
+    final_ratio = config.llm_image_token_ratio_list[len(config.llm_compress_layer_list)]
+    return config.video_tokens_vtg - int(config.video_tokens_vtg * final_ratio)
+
+
+def vtg_hidden_pdrop(
+    params: Params,
+    config: ModelConfig,
+    input_ids: jax.Array,
+    mask: jax.Array,
+    video: jax.Array,
+    video_start: int,
+    query_pos: int,                # last instruction token (prompt end)
+    *,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    lora_dropout: float = 0.0,
+    remat: bool = False,
+    use_pallas: Optional[bool] = None,
+):
+    """VTG forward with PyramidDrop in-LLM video-token pruning (reference:
+    modeling_qwen2_flash.py:1081-1357; enabled via config.mm_llm_compress).
+    Returns (post-norm hidden (B, S - pdrop_total_dropped(config), D),
+    kept-index map into the original sequence). Right-padded layouts only,
+    matching the reference's own restriction."""
+    from blim_tpu.models.pyramid_drop import pdrop_forward_hidden
+
+    llm_lora, proj_lora = _lora_parts(lora)
+    vid = projector_lib.project_vtg(
+        params["projector"], video, lora=proj_lora,
+        dropout_rng=dropout_rng, lora_scale=lora_scale, lora_dropout=lora_dropout,
+    )
+    emb = qwen2.embed_tokens(params["llm"], input_ids)
+    emb = splice_video(emb, vid, video_start)
+    return pdrop_forward_hidden(
+        params["llm"], config.llm, emb, mask, video_start,
+        config.video_tokens_vtg, query_pos,
+        config.llm_compress_layer_list, config.llm_image_token_ratio_list,
+        compress_type=config.llm_compress_type,
+        lora=llm_lora, lora_scale=lora_scale, remat=remat, use_pallas=use_pallas,
+    )
+
+
 def tvg_hidden(
     params: Params,
     config: ModelConfig,
