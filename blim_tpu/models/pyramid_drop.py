@@ -55,20 +55,24 @@ def _run_segment(
     remat: bool,
 ) -> jax.Array:
     cos, sin = rope_cos_sin(position_ids, config.head_dim, config.rope_theta)
-    layer_fn = functools.partial(_layer, config)
+
+    # statics closed over, never traced positionally through jax.checkpoint
+    def layer_fn(lp, h, ll=None):
+        return _layer(config, lp, h, cos, sin, attention_mask, attention_mask,
+                      use_pallas, ll, lora_scale)
+
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
 
     if lora_layers is None:
         def body(h, lp):
-            return layer_fn(lp, h, cos, sin, attention_mask, attention_mask, use_pallas), None
+            return layer_fn(lp, h), None
 
         hidden, _ = jax.lax.scan(body, hidden, params_layers)
     else:
         def body(h, xs):
             lp, ll = xs
-            return layer_fn(lp, h, cos, sin, attention_mask, attention_mask,
-                            use_pallas, ll, lora_scale), None
+            return layer_fn(lp, h, ll), None
 
         hidden, _ = jax.lax.scan(body, hidden, (params_layers, lora_layers))
     return hidden

@@ -186,21 +186,24 @@ def forward_hidden(
         position_ids = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
     cos, sin = rope_cos_sin(position_ids, config.head_dim, config.rope_theta)
 
-    layer_fn = functools.partial(_layer, config)
+    # close over the static flags (use_pallas/lora_scale) so jax.checkpoint
+    # never sees them as traced positional args
+    def layer_fn(lp, hidden, cos, sin, km, qm, ll=None):
+        return _layer(config, lp, hidden, cos, sin, km, qm, use_pallas, ll, lora_scale)
+
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
 
     if lora is None:
         def scan_body(hidden, lp):
-            out = layer_fn(lp, hidden, cos, sin, attention_mask, attention_mask, use_pallas)
+            out = layer_fn(lp, hidden, cos, sin, attention_mask, attention_mask)
             return out, None
 
         hidden, _ = jax.lax.scan(scan_body, inputs_embeds, params["layers"])
     else:
         def scan_body_lora(hidden, xs):
             lp, ll = xs
-            out = layer_fn(lp, hidden, cos, sin, attention_mask, attention_mask,
-                           use_pallas, ll, lora_scale)
+            out = layer_fn(lp, hidden, cos, sin, attention_mask, attention_mask, ll)
             return out, None
 
         hidden, _ = jax.lax.scan(

@@ -11,9 +11,13 @@ the tunnel result cache, best-of-N.
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench(fn, args_list, warmup=2, iters=6):

@@ -9,9 +9,13 @@ Timing per CLAUDE.md: np.asarray to sync, varied inputs, best-of-N.
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
