@@ -658,7 +658,12 @@ class RerankEngine:
             if not len(sel):
                 continue
             m = len(sel)
-            m_pad = -(-m // G) * G
+            # wide buckets scale groups-per-step down: the XLA suffix
+            # attention materializes (G*K, H, W, P+W) fp32 scores, and at
+            # W=99 a full G would blow the ~400MB HBM headroom next to the 7B
+            G_b = max(self.n_data, (G * 24 // max(int(b), 24)) // self.n_data * self.n_data)
+            G_b = min(G, G_b)
+            m_pad = -(-m // G_b) * G_b
             sel = np.concatenate([sel, np.repeat(sel[:1], m_pad - m)])
             P_len = int(prefix_ids.shape[0])
             k = int(g_cap.shape[1]) if len(g_cap) else topk
@@ -671,8 +676,8 @@ class RerankEngine:
                 for gi, gidx in enumerate(sl):
                     scores[g_pos[gidx]] = out[gi]
 
-            for s in range(0, m_pad, G):
-                sl = sel[s : s + G]
+            for s in range(0, m_pad, G_b):
+                sl = sel[s : s + G_b]
                 if stream:
                     # host-resident bank: gather this step's videos on host
                     # and stream them in (fp16, cast on device)
@@ -684,11 +689,11 @@ class RerankEngine:
                     self.params, self.lora, dev_banks, prefix_ids, prefix_mask, vi, ci,
                     width=int(b), video_direct=stream,
                 )
-                self.flops += flops_lib.prefix_forward_flops(llm, G, P_len)
+                self.flops += flops_lib.prefix_forward_flops(llm, G_b, P_len)
                 self.flops += flops_lib.suffix_forward_flops(
-                    llm, G * k, int(b), P_len, lm_positions=int(b) - 1
+                    llm, G_b * k, int(b), P_len, lm_positions=int(b) - 1
                 )
-                pending.append((sl[: min(G, m - s)], out))
+                pending.append((sl[: min(G_b, m - s)], out))
                 # streamed mode: bound in-flight steps — each holds its video
                 # buffers in HBM until consumed, and the ~500MB headroom next
                 # to the 7B fits only a small window
