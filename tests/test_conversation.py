@@ -105,3 +105,59 @@ def test_tvg_prefix_length_formula(tokenizer):
     conv.append_message(conv.roles[0], TVG_INSTRUCTION)
     expect = len(tokenizer(conv.get_prompt()).input_ids) - 2
     assert get_tvg_prefix_length(tokenizer) == expect
+
+
+def test_all_reference_templates_render():
+    """Every template in the reference's conv_templates table exists and
+    renders golden strings per its style's algorithm
+    (reference: conversation.py:316-592)."""
+    expected_names = {
+        "default", "v0", "v1", "vicuna_v1", "llama_2", "mistral_instruct",
+        "mistral_orca", "mistral_zephyr", "mistral_direct", "plain",
+        "v0_plain", "chatml_direct", "llava_v0", "llava_v0_mmtag", "llava_v1",
+        "llava_v1_mmtag", "llava_llama_2", "llava_llama_2_simple",
+        "llava_llama_2_mmtag", "llava_mistral_instruct", "mpt", "qwen_1_5",
+        "qwen_2", "internlm_2", "gemma_instruct",
+    }
+    assert expected_names <= set(conv_templates)
+
+    # SINGLE (vicuna v0): "sys###Human: q###Assistant:"
+    c = conv_templates["llava_v0"].copy()
+    c.append_message(c.roles[0], "q")
+    c.append_message(c.roles[1], None)
+    assert c.get_prompt() == c.system + "###" + "Human: q###" + "Assistant:"
+
+    # TWO (vicuna v1): "sys USER: q ASSISTANT: a</s>"
+    c = conv_templates["vicuna_v1"].copy()
+    c.append_message(c.roles[0], "q")
+    c.append_message(c.roles[1], "a")
+    assert c.get_prompt() == c.system + " " + "USER: q " + "ASSISTANT: a</s>"
+
+    # LLAMA_2: sys wrapped into the first [INST], leading sep stripped
+    c = conv_templates["llama_2"].copy()
+    c.append_message(c.roles[0], "q")
+    c.append_message(c.roles[1], "a")
+    assert c.get_prompt() == (
+        f"[INST] <<SYS>>\n{c.system}\n<</SYS>>\n\nq [/INST] a </s>"
+    )
+
+    # GEMMA: role-prefixed turns, "<end_of_turn>\n" separator
+    c = conv_templates["gemma_instruct"].copy()
+    c.append_message(c.roles[0], "q")
+    c.append_message(c.roles[1], "a")
+    assert c.get_prompt() == (
+        "<start_of_turn>user\nq<end_of_turn>\n<start_of_turn>model\na<end_of_turn>\n"
+    )
+
+    # v0 seed conversation renders (offset messages included, like reference)
+    c = conv_templates["default"].copy()
+    out = c.get_prompt()
+    assert out.startswith(c.system + "###Human: What are the key differences")
+    assert out.endswith("###")
+
+    # every template renders a 2-turn exchange without raising
+    for name, tpl in conv_templates.items():
+        c = tpl.copy()
+        c.append_message(c.roles[0], "hello")
+        c.append_message(c.roles[1], "world")
+        assert isinstance(c.get_prompt(), str) and len(c.get_prompt()) > 0, name
