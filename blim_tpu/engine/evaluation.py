@@ -59,7 +59,7 @@ def evaluation(
     vtg_banks = engine.upload(vtg_bank, inputs.features)
     if has_tvg:
         tvg_bank = CaptionBank.build_tvg(inputs.captions, tokenizer, engine.tvg_layout)
-        tvg_banks = engine.upload(tvg_bank, inputs.features)
+        tvg_banks = engine.upload(tvg_bank, inputs.features, shared_feats=vtg_banks)
         video_vocab = jnp.asarray(make_video_vocab(inputs.features), jnp.float32)
 
     t2v_dict: Dict[str, np.ndarray] = {}

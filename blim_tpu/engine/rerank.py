@@ -153,6 +153,53 @@ def group_pairs(
     )
 
 
+def group_pairs_bucketed(
+    key_idx: np.ndarray,
+    payload_idx: np.ndarray,
+    k_main: int,
+    rem_buckets: Tuple[int, ...] = (16, 8, 4),
+):
+    """group_pairs, but remainders land in small k-buckets instead of a
+    nearly-empty k_main group.
+
+    With k_main = 2*topk the union grid holds ~2*topk pairs per video on
+    average, so plain chunking makes a full group PLUS a 1-2-real/30-padded
+    group for most videos — ~2x the useful FLOPs (each padded slot repeats a
+    real suffix, and the extra group recomputes the video prefix). Remainder
+    buckets cut the padding to <= bucket/2 on average.
+
+    Returns [(k, g_key (M,), g_pay (M,k), g_pos (M,k)), ...] largest k first.
+    """
+    order = np.argsort(key_idx, kind="stable")
+    key_s, pay_s = key_idx[order], payload_idx[order]
+    buckets = {}
+    n = len(key_s)
+    start = 0
+    all_k = sorted(set(rem_buckets) | {k_main})
+    while start < n:
+        end = start
+        while end < n and key_s[end] == key_s[start]:
+            end += 1
+        s = start
+        while end - s >= k_main:
+            sl = np.arange(s, s + k_main)
+            buckets.setdefault(k_main, []).append(sl)
+            s += k_main
+        rem = end - s
+        if rem:
+            kb = next(k for k in all_k if k >= rem)
+            sl = np.arange(s, end)
+            sl = np.concatenate([sl, np.full(kb - rem, sl[0])])
+            buckets.setdefault(kb, []).append(sl)
+        start = end
+    out = []
+    for k in sorted(buckets, reverse=True):
+        sls = np.stack(buckets[k])
+        out.append((k, key_s[sls[:, 0]].astype(np.int32),
+                    pay_s[sls].astype(np.int32), order[sls].astype(np.int64)))
+    return out
+
+
 def group_pairs_by_video(
     rows: np.ndarray,
     cols: np.ndarray,
@@ -304,7 +351,7 @@ class RerankEngine:
 
     # -- device-resident banks ------------------------------------------------
 
-    def upload(self, bank: CaptionBank, features: np.ndarray) -> Dict[str, jax.Array]:
+    def upload(self, bank: CaptionBank, features, shared_feats: Optional[Dict] = None) -> Dict[str, jax.Array]:
         """Put a caption bank + the video feature bank into (replicated) HBM.
         Features are stored at the model's compute dtype (bf16 on TPU) — they
         are cached as fp16 on disk anyway, and fp32 residency doubles the HBM
@@ -323,7 +370,13 @@ class RerankEngine:
             "attn": jax.device_put(jnp.asarray(bank.attention_mask), self._replicated),
             "cpn": jax.device_put(jnp.asarray(bank.cpn_mask), self._replicated),
         }
-        if feat_bytes <= self.max_device_feature_bytes:
+        if shared_feats is not None and ("feats" in shared_feats or "feats_host" in shared_feats):
+            # VTG and TVG banks of the same eval share one resident copy —
+            # a second 7B-sized-headroom eats 134MB per 256 videos otherwise
+            for key in ("feats", "feats_host"):
+                if key in shared_feats:
+                    dev[key] = shared_feats[key]
+        elif feat_bytes <= self.max_device_feature_bytes:
             dev["feats"] = jax.device_put(jnp.asarray(features, feat_dtype), self._replicated)
         else:
             dev["feats_host"] = np.asarray(features, np.float16)
@@ -634,73 +687,80 @@ class RerankEngine:
         groups_per_step: Optional[int] = None,
     ) -> np.ndarray:
         """Shared-prefix VTG scores for a flat pair list (grouped by video).
-        Returns scores (n,) in input order."""
-        g_vid, g_cap, g_pos = group_pairs(vid_idx, cap_idx, topk)
-        lo, hi = self._process_shard(len(g_vid))
-        g_vid, g_cap, g_pos = g_vid[lo:hi], g_cap[lo:hi], g_pos[lo:hi]
-        G = groups_per_step or self.groups_per_step
-        G = -(-G // self.n_data) * self.n_data
+        Returns scores (n,) in input order.
 
+        Two bucketing axes keep the MXU fed without padding waste:
+          * k-buckets: full groups of 2*topk suffixes plus small remainder
+            groups (group_pairs_bucketed) — plain chunking wasted ~2x FLOPs;
+          * width buckets: a group runs at the smallest suffix width covering
+            its longest caption.
+        Steps batch G groups so that G*k*width stays roughly constant (MXU
+        feed) and the prefix-KV + fp32 score temps stay inside the ~400MB HBM
+        headroom next to the 7B."""
+        G = groups_per_step or self.groups_per_step
         prefix_ids, prefix_mask = self._vtg_prefix_arrays()
+        P_len = int(prefix_ids.shape[0])
+        llm = self.config.llm
         gs1 = NamedSharding(self.mesh, P(DATA_AXIS))
         gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        gs4 = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
         scores = np.zeros(len(cap_idx), np.float32)
-
-        # width bucketing: a group runs at the smallest suffix bucket covering
-        # its longest caption (short captions skip most of the budget)
         lens = banks["suffix_len_host"]
-        g_need = lens[g_cap].max(axis=1) if len(g_cap) else np.zeros(0, np.int32)
+        stream = "feats" not in banks
+        dev_banks = self._dev_banks(banks)
         pending = []
-        for b in self.suffix_buckets:
-            smaller = [x for x in self.suffix_buckets if x < b]
-            floor = max(smaller) if smaller else -1
-            (sel,) = np.nonzero((g_need > floor) & (g_need <= b))
-            if not len(sel):
-                continue
-            m = len(sel)
-            # wide buckets scale groups-per-step down: the XLA suffix
-            # attention materializes (G*K, H, W, P+W) fp32 scores, and at
-            # W=99 a full G would blow the ~400MB HBM headroom next to the 7B
-            G_b = max(self.n_data, (G * 24 // max(int(b), 24)) // self.n_data * self.n_data)
-            G_b = min(G, G_b)
-            m_pad = -(-m // G_b) * G_b
-            sel = np.concatenate([sel, np.repeat(sel[:1], m_pad - m)])
-            P_len = int(prefix_ids.shape[0])
-            k = int(g_cap.shape[1]) if len(g_cap) else topk
-            llm = self.config.llm
-            stream = "feats" not in banks
-            gs4 = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
-            dev_banks = self._dev_banks(banks)
-            def consume(sl, out):
-                out = np.asarray(out, np.float32)
-                for gi, gidx in enumerate(sl):
-                    scores[g_pos[gidx]] = out[gi]
 
-            for s in range(0, m_pad, G_b):
-                sl = sel[s : s + G_b]
-                if stream:
-                    # host-resident bank: gather this step's videos on host
-                    # and stream them in (fp16, cast on device)
-                    vi = jax.device_put(banks["feats_host"][g_vid[sl]], gs4)
-                else:
-                    vi = jax.device_put(jnp.asarray(g_vid[sl]), gs1)
-                ci = jax.device_put(jnp.asarray(g_cap[sl]), gs2)
-                out = self._vtg_shared_step(
-                    self.params, self.lora, dev_banks, prefix_ids, prefix_mask, vi, ci,
-                    width=int(b), video_direct=stream,
-                )
-                self.flops += flops_lib.prefix_forward_flops(llm, G_b, P_len)
-                self.flops += flops_lib.suffix_forward_flops(
-                    llm, G_b * k, int(b), P_len, lm_positions=int(b) - 1
-                )
-                pending.append((sl[: min(G_b, m - s)], out))
-                # streamed mode: bound in-flight steps — each holds its video
-                # buffers in HBM until consumed, and the ~500MB headroom next
-                # to the 7B fits only a small window
-                if stream and len(pending) >= 8:
-                    consume(*pending.pop(0))
-        for sl, out in pending:
-            consume(sl, out)
+        def consume(pos, out):
+            out = np.asarray(out, np.float32)
+            for gi in range(len(pos)):
+                scores[pos[gi]] = out[gi]
+
+        for k, g_vid, g_cap, g_pos in group_pairs_bucketed(vid_idx, cap_idx, topk):
+            lo, hi = self._process_shard(len(g_vid))
+            g_vid, g_cap, g_pos = g_vid[lo:hi], g_cap[lo:hi], g_pos[lo:hi]
+            if not len(g_vid):
+                continue
+            g_need = lens[g_cap].max(axis=1)
+            for b in self.suffix_buckets:
+                smaller = [x for x in self.suffix_buckets if x < b]
+                floor = max(smaller) if smaller else -1
+                (sel,) = np.nonzero((g_need > floor) & (g_need <= b))
+                if not len(sel):
+                    continue
+                m = len(sel)
+                # constant-feed G: G*k*max(b,24) ~ G_base*k_main*24, capped
+                # at 8 prefixes/step (prefix-KV HBM) and floored to the mesh
+                G_kb = G * topk * 24 // (k * max(int(b), 24))
+                G_kb = min(G_kb, 8 * self.n_data)   # prefix-KV HBM cap per chip
+                G_kb = max(self.n_data, G_kb // self.n_data * self.n_data)
+                m_pad = -(-m // G_kb) * G_kb
+                sel = np.concatenate([sel, np.repeat(sel[:1], m_pad - m)])
+                for s in range(0, m_pad, G_kb):
+                    sl = sel[s : s + G_kb]
+                    if stream:
+                        # host-resident bank: gather this step's videos on
+                        # host and stream them in (fp16, cast on device)
+                        vi = jax.device_put(banks["feats_host"][g_vid[sl]], gs4)
+                    else:
+                        vi = jax.device_put(jnp.asarray(g_vid[sl]), gs1)
+                    ci = jax.device_put(jnp.asarray(g_cap[sl]), gs2)
+                    out = self._vtg_shared_step(
+                        self.params, self.lora, dev_banks, prefix_ids, prefix_mask,
+                        vi, ci, width=int(b), video_direct=stream,
+                    )
+                    self.flops += flops_lib.prefix_forward_flops(llm, G_kb, P_len)
+                    self.flops += flops_lib.suffix_forward_flops(
+                        llm, G_kb * k, int(b), P_len, lm_positions=int(b) - 1
+                    )
+                    n_real = min(G_kb, m - s)
+                    pending.append((g_pos[sl[:n_real]].reshape(n_real, k), out))
+                    # streamed mode: bound in-flight steps — each holds its
+                    # video buffers in HBM until consumed, and the ~500MB
+                    # headroom next to the 7B fits only a small window
+                    if stream and len(pending) >= 8:
+                        consume(*pending.pop(0))
+        for pos, out in pending:
+            consume(pos, out)
         return self._allreduce_scores(scores)
 
     def compute_vtg_priors(self, banks: Dict[str, jax.Array]) -> np.ndarray:

@@ -91,3 +91,39 @@ def test_shared_prefix_t2v_direction(setup):
     )
     mask = naive > -100.0
     np.testing.assert_allclose(shared[mask], naive[mask], rtol=3e-4, atol=3e-4)
+
+
+def test_group_pairs_bucketed_covers_all_pairs_with_small_remainders():
+    from blim_tpu.engine.rerank import group_pairs_bucketed
+
+    rng = np.random.default_rng(0)
+    # 20 videos with 1..70 pairs each (the union grid averages ~2*topk=32)
+    key_idx, pay_idx = [], []
+    counts = {}
+    for v in range(20):
+        c = int(rng.integers(1, 70))
+        counts[v] = c
+        key_idx += [v] * c
+        pay_idx += list(rng.integers(0, 1000, c))
+    key_idx = np.asarray(key_idx)
+    pay_idx = np.asarray(pay_idx)
+
+    buckets = group_pairs_bucketed(key_idx, pay_idx, 32, rem_buckets=(16, 8, 4))
+    seen_pos = set()
+    for k, g_key, g_pay, g_pos in buckets:
+        assert g_pay.shape == g_pos.shape == (len(g_key), k)
+        for row in range(len(g_key)):
+            # every slot's position belongs to this group's key
+            assert (key_idx[g_pos[row]] == g_key[row]).all()
+            # padded slots repeat a real position (idempotent scatter)
+            seen_pos.update(g_pos[row].tolist())
+    assert seen_pos == set(range(len(key_idx)))   # full coverage
+
+    # padding waste is bounded by the bucket granularity: total slots
+    # <= pairs + (#groups * largest remainder bucket)
+    total_slots = sum(len(g_key) * k for k, g_key, _, _ in buckets)
+    n_groups = sum(len(g_key) for _, g_key, _, _ in buckets)
+    assert total_slots <= len(key_idx) + n_groups * 16
+    # and is far below plain k_main chunking for this distribution
+    plain_groups = sum(-(-c // 32) for c in counts.values())
+    assert total_slots < plain_groups * 32
