@@ -531,19 +531,8 @@ class RerankEngine:
         groups_per_step: Optional[int] = None,
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Shared-prefix TVG scores for a flat pair list (grouped by caption).
-        Returns (scores (n,), priors (n,) | None) in input order."""
-        g_cap, g_vid, g_pos = group_pairs(cap_idx, vid_idx, topk)
-        lo, hi = self._process_shard(len(g_cap))
-        g_cap, g_vid, g_pos = g_cap[lo:hi], g_vid[lo:hi], g_pos[lo:hi]
-        G = groups_per_step or self.groups_per_step
-        G = -(-G // self.n_data) * self.n_data
-        m = len(g_cap)
-        m_pad = -(-m // G) * G
-        pad = m_pad - m
-        if pad and m:
-            g_cap = np.concatenate([g_cap, np.repeat(g_cap[:1], pad)])
-            g_vid = np.concatenate([g_vid, np.repeat(g_vid[:1], pad, axis=0)])
-
+        Returns (scores (n,), priors (n,) | None) in input order.
+        Remainder k-buckets apply exactly as in the VTG direction."""
         gs1 = NamedSharding(self.mesh, P(DATA_AXIS))
         gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
         scores = np.zeros(len(cap_idx), np.float32)
@@ -551,32 +540,46 @@ class RerankEngine:
         pending = []
         P_tvg = int(banks["prefix_ids"].shape[1])
         Wt = self.tvg_layout.suffix_width
-        k = int(g_vid.shape[1]) if len(g_vid) else topk
         n_passes = 2 if with_prior else 1
         V = int(video_vocab.shape[0])
         llm = self.config.llm
         self._require_device_feats(banks, "TVG shared-prefix scoring")
         dev_banks = self._dev_banks(banks)
-        for s in range(0, m_pad, G):
-            ci = jax.device_put(jnp.asarray(g_cap[s : s + G]), gs1)
-            vi = jax.device_put(jnp.asarray(g_vid[s : s + G]), gs2)
-            pending.append((s, self._tvg_shared_step(
-                self.params, self.lora, dev_banks, video_vocab, ci, vi, with_prior=with_prior
-            )))
-            self.flops += n_passes * (
-                flops_lib.prefix_forward_flops(llm, G, P_tvg)
-                + flops_lib.suffix_forward_flops(llm, G * k, Wt, P_tvg)
-                + flops_lib.tvg_head_flops(self.config, G * k * self.config.num_clips, V)
+        G = groups_per_step or self.groups_per_step
+        for k, g_cap, g_vid, g_pos in group_pairs_bucketed(cap_idx, vid_idx, topk):
+            lo, hi = self._process_shard(len(g_cap))
+            g_cap, g_vid, g_pos = g_cap[lo:hi], g_vid[lo:hi], g_pos[lo:hi]
+            m = len(g_cap)
+            if not m:
+                continue
+            G_k = min(G * topk // k, 8 * self.n_data)
+            G_k = max(self.n_data, G_k // self.n_data * self.n_data)
+            m_pad = -(-m // G_k) * G_k
+            sel = np.concatenate(
+                [np.arange(m), np.zeros(m_pad - m, np.int64)]
             )
-        for s, (score, prior) in pending:
+            for s in range(0, m_pad, G_k):
+                sl = sel[s : s + G_k]
+                ci = jax.device_put(jnp.asarray(g_cap[sl]), gs1)
+                vi = jax.device_put(jnp.asarray(g_vid[sl]), gs2)
+                n_real = min(G_k, m - s)
+                pending.append((g_pos[sl[:n_real]].reshape(n_real, k), self._tvg_shared_step(
+                    self.params, self.lora, dev_banks, video_vocab, ci, vi,
+                    with_prior=with_prior
+                )))
+                self.flops += n_passes * (
+                    flops_lib.prefix_forward_flops(llm, G_k, P_tvg)
+                    + flops_lib.suffix_forward_flops(llm, G_k * k, Wt, P_tvg)
+                    + flops_lib.tvg_head_flops(self.config, G_k * k * self.config.num_clips, V)
+                )
+        for pos, (score, prior) in pending:
             score = np.asarray(score, np.float32)
             if with_prior:
                 prior = np.asarray(prior, np.float32)
-            n_real = min(G, m - s)
-            for gi in range(n_real):
-                scores[g_pos[s + gi]] = score[gi]
+            for gi in range(len(pos)):
+                scores[pos[gi]] = score[gi]
                 if with_prior:
-                    priors[g_pos[s + gi]] = prior[gi]
+                    priors[pos[gi]] = prior[gi]
         scores = self._allreduce_scores(scores)
         if with_prior:
             priors = self._allreduce_scores(priors)
