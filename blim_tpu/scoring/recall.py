@@ -61,14 +61,9 @@ def get_recall(
 
 
 def compute_metrics(sim_matrix: np.ndarray) -> Dict[str, float]:
-    """Auxiliary single-direction metrics: R@1/5/10, MedianR, MeanR
-    (reference keeps an unused variant in util/metrics.py:4-115)."""
-    diag = np.diag(sim_matrix)[:, None]
-    higher = (sim_matrix >= diag).sum(axis=1)  # rank of the diagonal (1-based)
-    return {
-        "R1": float(100 * np.mean(higher <= 1)),
-        "R5": float(100 * np.mean(higher <= 5)),
-        "R10": float(100 * np.mean(higher <= 10)),
-        "MedianR": float(np.median(higher)),
-        "MeanR": float(np.mean(higher)),
-    }
+    """Auxiliary single-direction diagonal-rank metrics — the full legacy
+    surface (R1..R1000, MR/MedianR/MeanR, cols) lives in
+    `scoring.alt_metrics` (reference: util/metrics.py:4-115)."""
+    from blim_tpu.scoring.alt_metrics import compute_metrics as _full
+
+    return _full(sim_matrix)
