@@ -303,7 +303,13 @@ def step_train_trajectory(args, params, config, tokenizer, expected):
             visual_head=params["visual_head"]["kernel"].astype(jnp.float32),
         )
         state = train_lib.TrainState(jnp.asarray(0), trainable, tx.init(trainable))
-        mesh = make_mesh()
+        # the data axis must divide the preset batch (e.g. 8 virtual devices
+        # from the test env vs MSRVTT's batch 4): use the largest compatible
+        # device prefix rather than assuming batch % n_devices == 0
+        import math
+
+        dp = math.gcd(B, len(jax.devices()))
+        mesh = make_mesh(data=dp, devices=jax.devices()[:dp])
         step_fn = train_lib.make_train_step(config, tcfg, tx, vtg_l, tvg_l, mesh=mesh)
         feats = ds.load_features()
         vocab = jnp.asarray(ds.video_vocab(), jnp.float32)

@@ -32,6 +32,10 @@ def tokenizer():
     return ByteTokenizer()
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: a shared session generator made test INPUTS depend on
+    # which other tests ran first (a seed-0 stream advanced by earlier tests
+    # once steered the flash-attention parity test into a degenerate
+    # masked-row case that only repros with specific file selections)
     return np.random.default_rng(0)

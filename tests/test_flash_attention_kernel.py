@@ -28,10 +28,18 @@ def make_inputs(rng, s=S, dtype=jnp.float32):
 
 
 def masks(rng, s=S):
+    """CPN-like holes + right padding, applied to keys AND queries alike.
+
+    Production always passes key_mask == query_mask (qwen2.py `_layer` /
+    full-sequence forward): CPN-masked tokens neither see nor are seen, and
+    a visible query therefore always sees at least itself under causal
+    attention. A query that is visible but has every causal key masked is
+    outside the contract — both implementations emit (different,
+    unconsumed) garbage for such rows, so the test must not generate them.
+    """
     key_mask = (rng.random((B, s)) > 0.2).astype(np.int32)   # CPN-like holes
-    query_mask = np.ones((B, s), np.int32)
-    query_mask[:, -7:] = 0                                    # right padding
-    key_mask[:, -7:] = 0
+    key_mask[:, -7:] = 0                                      # right padding
+    query_mask = key_mask.copy()
     return jnp.asarray(key_mask), jnp.asarray(query_mask)
 
 
