@@ -205,11 +205,15 @@ def main():
             try:
                 return fn()
             except Exception as e:
-                transient = "remote_compile" in repr(e) or "HTTP 500" in repr(e)
+                transient = ("remote_compile" in repr(e) or "HTTP 500" in repr(e)
+                             or "RESOURCE_EXHAUSTED" in repr(e))
                 if not transient or i == attempts - 1:
                     raise
                 print(f"# transient compile failure (attempt {i + 1}): retrying",
                       file=sys.stderr)
+                import gc
+
+                gc.collect()  # free any engine freed only by cycle collection
                 time.sleep(10)
 
     def measure(finetuned, m, trials):
@@ -242,6 +246,13 @@ def main():
             assert len(cells) and np.isfinite(cells).all(), f"bad scores in {name}"
         qps = m / elapsed / n_chips
         mfu = flops / elapsed / (n_chips * peak) if peak else None
+        # the engine's jitted partials reference the engine (a cycle), so its
+        # device buffers and compiled programs outlive this frame until a GC
+        # pass runs — which OOMs the NEXT measure's warmup next to the 7B
+        del engine
+        import gc
+
+        gc.collect()
         return qps, mfu, flops, elapsed
 
     primary_finetuned = args.finetuned

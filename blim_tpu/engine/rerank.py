@@ -473,6 +473,7 @@ class RerankEngine:
         return vcf.score_vtg_suffix(
             params, self.config, kv, suf_ids, suf_mask, suf_labels,
             position_offset, prefix_mask=pmask, lora=lora, lora_scale=self.lora_scale,
+            use_pallas=self.use_pallas,
         )
 
     def _vtg_prior_step_impl(
@@ -487,6 +488,7 @@ class RerankEngine:
         scores = vcf.score_vtg_suffix(
             params, self.config, prior_kv, suf_ids, suf_mask, suf_labels,
             position_offset, prefix_mask=prior_mask, lora=lora, lora_scale=self.lora_scale,
+            use_pallas=self.use_pallas,
         )
         return scores[0]
 
@@ -511,7 +513,7 @@ class RerankEngine:
             return vcf.score_tvg_shared(
                 params, self.config, kv, pm, first_ids, video, vid_idx, video_vocab,
                 terminator_ids, position_offset, cpn=cpn,
-                lora=lora, lora_scale=self.lora_scale,
+                lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
             )
 
         score = run(jnp.take(banks["prefix_mask"], cap_idx, axis=0), False)

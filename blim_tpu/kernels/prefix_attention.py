@@ -133,21 +133,38 @@ def _pallas_forward(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, sca
     p_pad = k_pre.shape[1]
     w_pad = q.shape[2]
 
-    grid = (g, hq)
+    # chunk the suffix axis so one program's VMEM stays bounded. Limits are
+    # anchored on the largest shape validated on v5e (K=32, W=104, P=352:
+    # compiles and wins 2.15x over XLA): the q/kv/acc io+fp32 term caps
+    # K_c*W at 32*104, the fp32 score/prob term caps K_c*W*(P+W) at
+    # 32*104*456 entries. An unchunked K=64 x W=104 prior batch blew the
+    # 16MB scoped-VMEM limit by 0.6MB.
+    kc = max(1, min(kk, 3328 // w_pad, 1_517_568 // (w_pad * (p_pad + w_pad))))
+    nc = -(-kk // kc)
+    if nc > 1 and kk % kc:
+        pad_k = nc * kc - kk
+        q = pad_to(q, nc * kc, 1)
+        k_suf = pad_to(k_suf, nc * kc, 1)
+        v_suf = pad_to(v_suf, nc * kc, 1)
+        suffix_mask = pad_to(suffix_mask, nc * kc, 1)  # zero mask => zero output
+        del pad_k
+    kk_pad = q.shape[1]
+
+    grid = (g, hq, nc)
     out = pl.pallas_call(
         functools.partial(_fused_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, kk, w_pad, hd), lambda gi, hi: (gi, hi, 0, 0, 0)),
-            pl.BlockSpec((1, 1, p_pad, hd), lambda gi, hi: (gi, hi // group, 0, 0)),
-            pl.BlockSpec((1, 1, p_pad, hd), lambda gi, hi: (gi, hi // group, 0, 0)),
-            pl.BlockSpec((1, 1, kk, w_pad, hd), lambda gi, hi: (gi, hi // group, 0, 0, 0)),
-            pl.BlockSpec((1, 1, kk, w_pad, hd), lambda gi, hi: (gi, hi // group, 0, 0, 0)),
-            pl.BlockSpec((1, 1, p_pad), lambda gi, hi: (gi, 0, 0)),
-            pl.BlockSpec((1, 1, kk, w_pad), lambda gi, hi: (gi, 0, 0, 0)),
+            pl.BlockSpec((1, 1, kc, w_pad, hd), lambda gi, hi, ci: (gi, hi, ci, 0, 0)),
+            pl.BlockSpec((1, 1, p_pad, hd), lambda gi, hi, ci: (gi, hi // group, 0, 0)),
+            pl.BlockSpec((1, 1, p_pad, hd), lambda gi, hi, ci: (gi, hi // group, 0, 0)),
+            pl.BlockSpec((1, 1, kc, w_pad, hd), lambda gi, hi, ci: (gi, hi // group, ci, 0, 0)),
+            pl.BlockSpec((1, 1, kc, w_pad, hd), lambda gi, hi, ci: (gi, hi // group, ci, 0, 0)),
+            pl.BlockSpec((1, 1, p_pad), lambda gi, hi, ci: (gi, 0, 0)),
+            pl.BlockSpec((1, 1, kc, w_pad), lambda gi, hi, ci: (gi, 0, ci, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, kk, w_pad, hd), lambda gi, hi: (gi, hi, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((g, hq, kk, w_pad, hd), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, kc, w_pad, hd), lambda gi, hi, ci: (gi, hi, ci, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, hq, kk_pad, w_pad, hd), q.dtype),
     )(
         q.transpose(0, 3, 1, 2, 4),        # (G, Hq, K, W, hd)
         k_pre.transpose(0, 2, 1, 3),       # (G, Hkv, P, hd)
@@ -157,8 +174,8 @@ def _pallas_forward(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, sca
         prefix_mask[:, None, :],
         suffix_mask[:, None, :, :].transpose(0, 1, 2, 3),
     )
-    out = out.transpose(0, 2, 3, 1, 4)     # (G, K, W_pad, Hq, hd)
-    return out[:, :, :w]
+    out = out.transpose(0, 2, 3, 1, 4)     # (G, K_pad, W_pad, Hq, hd)
+    return out[:, :kk, :w]
 
 
 def _xla_reference(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale):
@@ -213,15 +230,23 @@ def prefix_attention(
     prefix_mask = prefix_mask.astype(jnp.int32)
     suffix_mask = suffix_mask.astype(jnp.int32)
     if use_pallas is None:
-        # default decided by on-device A/B (scripts/abench_attention.py /
-        # scripts/abench_prefix.py); see CLAUDE.md kernel scoreboard
+        # Default decided by on-device measurement (see CLAUDE.md scoreboard).
+        # Per-op (scripts/abench_prefix.py, chained-op timing) the fused-K
+        # kernel beats XLA at every VTG rerank shape on v5e — 1.06x (G=2
+        # W=16) to 2.15x (full-width) — but END-TO-END it is a wash on the
+        # zero-shot flow (suffix attention is ~10% of step time and
+        # pallas_call is a fusion barrier) and a 45% LOSS on the fine-tuned
+        # flow (TVG's W=7 suffixes sit at the kernel's per-call floor). XLA
+        # stays the default; callers with wide-suffix-heavy workloads can
+        # opt in.
         use_pallas = False
     # the fused q tile needs enough rows to feed the MXU, and hd must be a
-    # full lane tile; the VMEM budget bounds K*W and P
+    # full lane tile. K chunks inside the wrapper, so only W and P are
+    # VMEM-bounded per program (the whole prefix KV loads once per chunk)
     fits = (
         hd % 128 == 0
         and kk * w >= 128
-        and (kk * w) * p_len * 4 <= 8 * 2**20
+        and w <= 1024
         and p_len * hd * 4 <= 2 * 2**20
     )
     if use_pallas and fits:

@@ -327,6 +327,7 @@ def forward_suffix_with_prefix(
     prefix_mask: Optional[jax.Array] = None,   # (G, P)
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
+    use_pallas: Optional[bool] = None,
 ) -> jax.Array:
     """Decode K caption suffixes per shared prefix -> hidden (G, K, W, D).
 
@@ -367,6 +368,7 @@ def forward_suffix_with_prefix(
 
         attn = prefix_attention(
             q, k, v, kv_k, kv_v, suffix_mask, prefix_mask, hd ** -0.5,
+            use_pallas=use_pallas,
         )
         attn = apply_dense(lp["o_proj"], attn.reshape(G, K, W, H * hd), lo("o_proj"), lora_scale)
         hidden = hidden + attn

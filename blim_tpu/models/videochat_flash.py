@@ -519,6 +519,7 @@ def score_vtg_suffix(
     prefix_mask: Optional[jax.Array] = None,
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
+    use_pallas: Optional[bool] = None,
 ) -> jax.Array:
     """Likelihood of each suffix given its group's prefix -> (G, K)."""
     llm_lora, _ = _lora_parts(lora)
@@ -526,6 +527,7 @@ def score_vtg_suffix(
     hidden = qwen2.forward_suffix_with_prefix(
         params["llm"], config.llm, emb, prefix_kv, suffix_mask, position_offset,
         prefix_mask=prefix_mask, lora=llm_lora, lora_scale=lora_scale,
+        use_pallas=use_pallas,
     )
     kernel, la, lb = _lm_head_parts(params, lora)
     return criteria.vtg_likelihood_from_hidden(
@@ -570,6 +572,7 @@ def score_tvg_shared(
     cpn: bool = False,
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
+    use_pallas: Optional[bool] = None,
 ) -> jax.Array:
     """Shared-prefix TVG likelihood/prior -> (G, K).
 
@@ -598,6 +601,7 @@ def score_tvg_shared(
     hidden = qwen2.forward_suffix_with_prefix(
         params["llm"], config.llm, suffix, prefix_kv, suffix_mask, position_offset,
         prefix_mask=prefix_mask, lora=llm_lora, lora_scale=lora_scale,
+        use_pallas=use_pallas,
     )
     clip_hidden = hidden[:, :, :clips].reshape(g * k, clips, -1)
     logits = criteria.tvg_clip_logits(clip_hidden, params["visual_head"]["kernel"], video_vocab)

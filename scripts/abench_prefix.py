@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--loop", type=int, default=24,
+                    help="dependent op calls chained inside one jit")
     args = ap.parse_args()
 
     import jax
@@ -57,12 +59,26 @@ def main():
             variants.append((q, ks, vs, kp, vp, jnp.asarray(sm), jnp.asarray(pm)))
         scale = hd ** -0.5
 
-        xla_j = jax.jit(lambda *a: _xla_reference(*a, scale))
-        pal_j = jax.jit(lambda *a: prefix_attention(*a, scale, use_pallas=True))
-        t_x = bench(xla_j, variants)
-        t_p = bench(pal_j, variants)
+        # single calls through the tunnel are ~30ms dispatch-dominated; chain
+        # LOOP dependent calls inside one jit so the per-op time resolves
+        LOOP = args.loop
+
+        def chained(attn):
+            def run(q, ks, vs, kp, vp, sm, pm):
+                def body(qc, _):
+                    out = attn(qc, ks, vs, kp, vp, sm, pm)
+                    return qc + 0.001 * out, ()
+                qc, _ = jax.lax.scan(body, q, None, length=LOOP)
+                return qc
+            return jax.jit(run)
+
+        xla_j = chained(lambda *a: _xla_reference(*a, scale))
+        pal_j = chained(lambda *a: prefix_attention(*a, scale, use_pallas=True))
+        t_x = bench(xla_j, variants) / LOOP
+        t_p = bench(pal_j, variants) / LOOP
         print(f"G={G} K={K} W={W:3d} P={P}:  XLA {t_x*1e3:7.3f} ms   "
-              f"Pallas {t_p*1e3:7.3f} ms   ({t_x/t_p:.2f}x {'win' if t_p < t_x else 'LOSS'})")
+              f"Pallas {t_p*1e3:7.3f} ms   ({t_x/t_p:.2f}x {'win' if t_p < t_x else 'LOSS'})",
+              flush=True)
 
     for W in (16, 24, 99):
         case(2, 32, W, 341)

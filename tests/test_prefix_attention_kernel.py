@@ -35,6 +35,8 @@ def make_case(rng, G, K, W, Hq, Hkv, hd, P):
     (2, 32, 8, 4, 2, 128, 256),    # aligned P
     (1, 32, 16, 4, 2, 128, 341),   # the rerank shape class: unaligned P pads
     (1, 16, 24, 4, 2, 128, 120),   # W=24 (bucket), P unaligned to 16
+    (1, 40, 96, 2, 1, 128, 48),    # K*W over the per-program cap: K chunks
+                                   # (kc=34, nc=2, K pads 40->68 zero-masked)
 ])
 def test_fused_kernel_matches_xla_interpret(rng, shape):
     G, K, W, Hq, Hkv, hd, P = shape
