@@ -109,7 +109,10 @@ def _fwd_kernel(
         out = out * qm
     o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
     if lse_ref is not None:
-        lse_ref[0, 0, :] = (m + jnp.log(l_safe)).reshape(blk_q)
+        # (1, 1, blk_q, 1): the trailing singleton keeps the block's last two
+        # dims Mosaic-legal ((blk_q, 1) vs a (1, 1, blk_q) row vector, whose
+        # sublane dim of 1 the TPU lowering rejects for H > 1 arrays)
+        lse_ref[0, 0, :, 0] = (m + jnp.log(l_safe)).reshape(blk_q)
 
 
 def _flash_forward(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k,
@@ -157,8 +160,10 @@ def _flash_forward(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k,
     out_specs = [pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi: (bi, hi, qi, 0))]
     out_shape = [jax.ShapeDtypeStruct((b, hq, s, d), q.dtype)]
     if with_lse:
-        out_specs.append(pl.BlockSpec((1, 1, blk_q), lambda bi, hi, qi: (bi, hi, qi)))
-        out_shape.append(jax.ShapeDtypeStruct((b, hq, s), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, blk_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((b, hq, s, 1), jnp.float32))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -168,7 +173,7 @@ def _flash_forward(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k,
         interpret=interpret,
     )(*operands)
     if with_lse:
-        return outs[0].transpose(0, 2, 1, 3), outs[1]
+        return outs[0].transpose(0, 2, 1, 3), outs[1][..., 0]
     return outs[0].transpose(0, 2, 1, 3)
 
 
@@ -181,8 +186,8 @@ def _dq_kernel(
     k_ref,       # (1, 1, S, D)
     v_ref,       # (1, 1, S, D)
     do_ref,      # (1, 1, blk_q, D)  (already query-mask-scaled)
-    lse_ref,     # (1, 1, blk_q) f32
-    delta_ref,   # (1, 1, blk_q) f32 — rowsum(dO * O)
+    lse_ref,     # (1, 1, blk_q, 1) f32
+    delta_ref,   # (1, 1, blk_q, 1) f32 — rowsum(dO * O)
     kmask_ref,   # (1, 1, S) int32 or None
     dq_ref,      # (1, 1, blk_q, D)
     *,
@@ -195,8 +200,8 @@ def _dq_kernel(
     qi = pl.program_id(2)
     q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
     do = do_ref[0, 0, :, :].astype(jnp.float32)
-    lse = lse_ref[0, 0, :].reshape(blk_q, 1)
-    delta = delta_ref[0, 0, :].reshape(blk_q, 1)
+    lse = lse_ref[0, 0, :, :].reshape(blk_q, 1)
+    delta = delta_ref[0, 0, :, :].reshape(blk_q, 1)
     d = q.shape[-1]
 
     num_kv = ((qi * blk_q + blk_q + blk_k - 1) // blk_k) if causal else seq_len // blk_k
@@ -234,13 +239,13 @@ def _dq_kernel(
 
 
 def _dkv_kernel(
-    q_ref,       # (1, 1, G, S, D) — this kv head's query group
+    q_ref,       # (1, 1, G*NQ, blk_q, D) — this kv head's query group, q-blocked
     k_ref,       # (1, 1, blk_k, D)
     v_ref,       # (1, 1, blk_k, D)
-    do_ref,      # (1, 1, G, S, D)
-    lse_ref,     # (1, 1, G, S) f32
-    delta_ref,   # (1, 1, G, S) f32
-    kmask_ref,   # (1, 1, S) int32 or None
+    do_ref,      # (1, 1, G*NQ, blk_q, D)
+    lse_ref,     # (1, 1, G*NQ, 1, blk_q) f32
+    delta_ref,   # (1, 1, G*NQ, 1, blk_q) f32
+    kmask_ref,   # (1, 1, blk_k) int32 or None
     dk_ref,      # (1, 1, blk_k, D)
     dv_ref,      # (1, 1, blk_k, D)
     *,
@@ -251,6 +256,10 @@ def _dkv_kernel(
     causal: bool,
     scale: float,
 ):
+    # q/do/lse/delta carry the q-block axis as a leading UNTILED dim: Mosaic
+    # rejects dynamic loads at unaligned sublane offsets (the group index) or
+    # dynamic lane offsets (qi*blk_q), so all dynamic indexing happens on
+    # dim 2 and the tiled last-two dims are read whole.
     ki = pl.program_id(2)
     d = k_ref.shape[-1]
     k_blk = k_ref[0, 0, :, :].astype(jnp.float32)
@@ -258,7 +267,7 @@ def _dkv_kernel(
 
     km = None
     if kmask_ref is not None:
-        km = kmask_ref[0, 0, pl.ds(ki * blk_k, blk_k)].reshape(1, blk_k) > 0
+        km = kmask_ref[0, 0, :].reshape(1, blk_k) > 0
 
     nq = seq_len // blk_q
     # causal: q blocks strictly above this kv block's diagonal contribute 0
@@ -270,10 +279,11 @@ def _dkv_kernel(
 
         def inner(qi, carry2):
             dk2, dv2 = carry2
-            q = q_ref[0, 0, gi, pl.ds(qi * blk_q, blk_q), :].astype(jnp.float32) * scale
-            do = do_ref[0, 0, gi, pl.ds(qi * blk_q, blk_q), :].astype(jnp.float32)
-            lse = lse_ref[0, 0, gi, pl.ds(qi * blk_q, blk_q)].reshape(blk_q, 1)
-            delta = delta_ref[0, 0, gi, pl.ds(qi * blk_q, blk_q)].reshape(blk_q, 1)
+            idx = gi * nq + qi
+            q = q_ref[0, 0, idx, :, :].astype(jnp.float32) * scale
+            do = do_ref[0, 0, idx, :, :].astype(jnp.float32)
+            lse = lse_ref[0, 0, idx, 0, :].reshape(blk_q, 1)
+            delta = delta_ref[0, 0, idx, 0, :].reshape(blk_q, 1)
             s = jax.lax.dot_general(
                 q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
@@ -346,13 +356,13 @@ def _flash_backward(q, k, v, key_mask, query_mask, out, lse, g,
             pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi // group, 0, 0)),
             pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi // group, 0, 0)),
             pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, blk_q), lambda bi, hi, qi: (bi, hi, qi)),
-            pl.BlockSpec((1, 1, blk_q), lambda bi, hi, qi: (bi, hi, qi)),
+            pl.BlockSpec((1, 1, blk_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, blk_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
         ] + km_spec3,
         out_specs=pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hq, s, d), q.dtype),
         interpret=interpret,
-    )(qt, kt, vt, gt, lse, dt, *km_ops).transpose(0, 2, 1, 3)
+    )(qt, kt, vt, gt, lse[..., None], dt[..., None], *km_ops).transpose(0, 2, 1, 3)
 
     nk = s // blk_k
     if masked:
@@ -360,23 +370,25 @@ def _flash_backward(q, k, v, key_mask, query_mask, out, lse, g,
     else:
         def dkv_kernel(qr, kr, vr, dor, lser, deltar, dkr, dvr, **kw):
             return _dkv_kernel(qr, kr, vr, dor, lser, deltar, None, dkr, dvr, **kw)
-    # group the q-head axis by kv head: (B, Hkv, G, S, D) -> block (1,G,S,D)
-    qg = qt.reshape(b, hkv, group, s, d)
-    gg = gt.reshape(b, hkv, group, s, d)
-    lg = lse.reshape(b, hkv, group, s)
-    dg = dt.reshape(b, hkv, group, s)
+    # group the q-head axis by kv head and pre-chunk the q axis into blocks
+    # so the kernel's dynamic indexing stays on untiled dims (see _dkv_kernel)
+    nqb = s // blk_q
+    qg = qt.reshape(b, hkv, group * nqb, blk_q, d)
+    gg = gt.reshape(b, hkv, group * nqb, blk_q, d)
+    lg = lse.reshape(b, hkv, group * nqb, 1, blk_q)
+    dg = dt.reshape(b, hkv, group * nqb, 1, blk_q)
     dk, dv = pl.pallas_call(
         functools.partial(dkv_kernel, blk_q=blk_q, blk_k=blk_k, seq_len=s,
                           group=group, causal=causal, scale=scale),
         grid=(b, hkv, nk),
         in_specs=[
-            pl.BlockSpec((1, 1, group, s, d), lambda bi, hi, ki: (bi, hi, 0, 0, 0)),
+            pl.BlockSpec((1, 1, group * nqb, blk_q, d), lambda bi, hi, ki: (bi, hi, 0, 0, 0)),
             pl.BlockSpec((1, 1, blk_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
             pl.BlockSpec((1, 1, blk_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
-            pl.BlockSpec((1, 1, group, s, d), lambda bi, hi, ki: (bi, hi, 0, 0, 0)),
-            pl.BlockSpec((1, 1, group, s), lambda bi, hi, ki: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, group, s), lambda bi, hi, ki: (bi, hi, 0, 0)),
-        ] + ([pl.BlockSpec((1, 1, s), lambda bi, hi, ki: (bi, 0, 0))] if masked else []),
+            pl.BlockSpec((1, 1, group * nqb, blk_q, d), lambda bi, hi, ki: (bi, hi, 0, 0, 0)),
+            pl.BlockSpec((1, 1, group * nqb, 1, blk_q), lambda bi, hi, ki: (bi, hi, 0, 0, 0)),
+            pl.BlockSpec((1, 1, group * nqb, 1, blk_q), lambda bi, hi, ki: (bi, hi, 0, 0, 0)),
+        ] + ([pl.BlockSpec((1, 1, blk_k), lambda bi, hi, ki: (bi, 0, ki))] if masked else []),
         out_specs=[
             pl.BlockSpec((1, 1, blk_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
             pl.BlockSpec((1, 1, blk_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
