@@ -68,18 +68,36 @@ def make_captions(n, rng, budget):
 
 def run_flow(engine, inputs, tok, dataset, topk, cpn, finetuned, naive, trials):
     """Time the full evaluation flow; returns (elapsed_s, flops, t2v, v2t)."""
+    import gc
+
     from blim_tpu.engine.evaluation import evaluation
 
     elapsed, flops = float("inf"), 0.0
     t2v = v2t = None
-    for _ in range(max(trials, 1)):
+    for t in range(max(trials, 1)):
+        if t:
+            # each trial re-uploads the banks; deallocation through the
+            # tunnel is deferred, so let the previous trial's frees land
+            # before allocating the next copy next to the 7B
+            gc.collect()
+            time.sleep(3)
         engine.reset_flops()
-        t0 = time.perf_counter()
-        t2v, v2t = evaluation(
-            engine, inputs, tok, dataset, topk=topk, cpn=cpn,
-            has_tvg=finetuned, verbose=False, shared_prefix=not naive,
-        )
-        dt = time.perf_counter() - t0
+        for attempt in (0, 1):
+            try:
+                t0 = time.perf_counter()
+                t2v, v2t = evaluation(
+                    engine, inputs, tok, dataset, topk=topk, cpn=cpn,
+                    has_tvg=finetuned, verbose=False, shared_prefix=not naive,
+                )
+                dt = time.perf_counter() - t0
+                break
+            except Exception as e:
+                if "RESOURCE_EXHAUSTED" not in repr(e) or attempt:
+                    raise
+                print("# trial hit RESOURCE_EXHAUSTED; settling and retrying",
+                      file=sys.stderr)
+                gc.collect()
+                time.sleep(10)
         if dt < elapsed:
             elapsed, flops = dt, engine.flops
     return elapsed, flops, t2v, v2t

@@ -212,6 +212,18 @@ def group_pairs_by_video(
     return g_vid, g_cap, rows[g_pos], cols[g_pos]
 
 
+@functools.partial(jax.jit, static_argnames=("lora_scale", "out_dtype"))
+def _project_tvg_chunk(proj_params, proj_lora, feats, lora_scale, out_dtype):
+    """Module-level jit (params as ARGS, not closure constants): one compile
+    per chunk shape for the whole process, no per-engine executable copies."""
+    from blim_tpu.models import projector as projector_lib
+
+    out = projector_lib.project_tvg(
+        proj_params, feats, lora=proj_lora, lora_scale=lora_scale
+    )
+    return out.astype(jnp.dtype(out_dtype))
+
+
 def unique_pairs(cap_idx: np.ndarray, vid_idx: np.ndarray):
     """Dedupe (caption, video) keys. Returns (uniq_cap, uniq_vid, inverse) —
     the same physical pair appears in both rerank directions
@@ -295,6 +307,18 @@ class RerankEngine:
             from blim_tpu.engine.train import param_shardings
 
             self.params = jax.device_put(params, param_shardings(config, mesh))
+        elif mesh.devices.size == 1:
+            # single-device mesh: device_put to a NamedSharding COPIES arrays
+            # that carry a SingleDeviceSharding — a second 7B next to the
+            # first. Arrays already on the mesh's device are used as-is.
+            only = mesh.devices.flat[0]
+
+            def _maybe_put(x):
+                if isinstance(x, jax.Array) and x.devices() == {only}:
+                    return x
+                return jax.device_put(x, self._replicated)
+
+            self.params = jax.tree_util.tree_map(_maybe_put, params)
         else:
             self.params = jax.device_put(params, self._replicated)
         if lora is not None:
@@ -393,7 +417,41 @@ class RerankEngine:
             dev["prefix_mask"] = jax.device_put(jnp.asarray(bank.prefix_mask), self._replicated)
             dev["prefix_cpn"] = jax.device_put(jnp.asarray(bank.prefix_cpn), self._replicated)
             dev["first_ids"] = jax.device_put(jnp.asarray(bank.first_ids), self._replicated)
+            # TVG video embeddings are pair-independent: run tvg_mlp + clip
+            # mean ONCE per video here. The shared-prefix TVG step then
+            # gathers (V, clips, D) rows instead of projecting per pair —
+            # without this the projector's (G, K, clips, 64, hidden)
+            # intermediate dominates step HBM and caps the group batch.
+            dev["tvg_embeds"] = self._project_tvg_bank(features)
         return dev
+
+    def _project_tvg_bank(self, features, chunk: int = 32) -> jax.Array:
+        """(V, clips, T, mm) features -> (V, clips, D) TVG embeddings,
+        chunked so the MLP intermediate stays ~50MB. Computed at the same
+        dtype the per-pair path used (bank dtype), so scores are unchanged."""
+        proj_lora = None if self.lora is None else self.lora.get("projector")
+        feat_dtype = self.params["llm"]["embed_tokens"]["embedding"].dtype
+        if not jnp.issubdtype(feat_dtype, jnp.floating):
+            feat_dtype = jnp.float32
+
+        def chunk_fn(feats):
+            return _project_tvg_chunk(
+                self.params["projector"], proj_lora, feats, self.lora_scale,
+                str(feat_dtype),
+            )
+
+        v = features.shape[0]
+        pad = (-v) % chunk
+        feats = np.asarray(features, np.float32)
+        if pad:
+            feats = np.concatenate(
+                [feats, np.zeros((pad, *feats.shape[1:]), np.float32)]
+            )
+        parts = [
+            chunk_fn(jnp.asarray(feats[s : s + chunk], feat_dtype))
+            for s in range(0, v + pad, chunk)
+        ]
+        return jax.device_put(jnp.concatenate(parts, axis=0)[:v], self._replicated)
 
     # -- jitted steps ----------------------------------------------------------
 
@@ -502,7 +560,8 @@ class RerankEngine:
         g, k = vid_idx.shape
         prefix_ids = jnp.take(banks["prefix_ids"], cap_idx, axis=0)
         first_ids = jnp.take(banks["first_ids"], cap_idx, axis=0)
-        video = jnp.take(banks["feats"], vid_idx.reshape(-1), axis=0)
+        # gather the precomputed (V, clips, D) TVG embeddings, not raw features
+        video = jnp.take(banks["tvg_embeds"], vid_idx.reshape(-1), axis=0)
         video = video.reshape(g, k, *video.shape[1:])
 
         def run(pm, cpn):
@@ -545,7 +604,9 @@ class RerankEngine:
         n_passes = 2 if with_prior else 1
         V = int(video_vocab.shape[0])
         llm = self.config.llm
-        self._require_device_feats(banks, "TVG shared-prefix scoring")
+        # needs only the precomputed (V, clips, D) embed bank — ~28KB/video,
+        # resident even when the raw feature bank streams from host
+        assert "tvg_embeds" in banks, "upload() computes tvg_embeds for TVG banks"
         dev_banks = self._dev_banks(banks)
         G = groups_per_step or self.groups_per_step
         for k, g_cap, g_vid, g_pos in group_pairs_bucketed(cap_idx, vid_idx, topk):
@@ -554,8 +615,20 @@ class RerankEngine:
             m = len(g_cap)
             if not m:
                 continue
-            G_k = min(G * topk // k, 8 * self.n_data)
-            G_k = max(self.n_data, G_k // self.n_data * self.n_data)
+            # constant token feed per step: a TVG group is one ~250-token
+            # prefix + k tiny (W=7) suffixes ≈ 473 tokens, so the old
+            # one-group-per-step schedule fed the MXU ~5x less than the VTG
+            # direction (and paid ~5x more dispatches). Match VTG's ~1100
+            # tokens per chip-step — but ONLY for the dominant full bucket:
+            # every big-G variant is another compiled program whose scratch
+            # stays resident next to the 7B, and the remainder k-buckets are
+            # a small minority of groups, so feeding them stays cheap.
+            if k == topk:
+                tokens_per_group = P_tvg + k * Wt
+                G_k = min(G * 1100 // tokens_per_group, 8 * self.n_data)
+                G_k = max(self.n_data, G_k // self.n_data * self.n_data)
+            else:
+                G_k = self.n_data
             m_pad = -(-m // G_k) * G_k
             sel = np.concatenate(
                 [np.arange(m), np.zeros(m_pad - m, np.int64)]

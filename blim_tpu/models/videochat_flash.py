@@ -587,8 +587,16 @@ def score_tvg_shared(
 
     first = qwen2.embed_tokens(params["llm"], first_ids)[:, None, None, :]   # (G,1,1,D)
     first = jnp.broadcast_to(first, (g, k, 1, first.shape[-1]))
-    vid = projector_lib.project_tvg(params["projector"], video, lora=proj_lora,
-                                    lora_scale=lora_scale).astype(emb_dtype)  # (G,K,clips,D)
+    if video.ndim == 4:
+        # precomputed per-video TVG embeddings (G, K, clips, D) — the
+        # projection is pair-independent, so the rerank engine computes it
+        # once per video at upload instead of per (group, candidate): the
+        # tvg_mlp's (G,K,clips,64,hidden) intermediate otherwise dominates
+        # the step's HBM (234MB at G=4, K=32)
+        vid = video.astype(emb_dtype)
+    else:
+        vid = projector_lib.project_tvg(params["projector"], video, lora=proj_lora,
+                                        lora_scale=lora_scale).astype(emb_dtype)  # (G,K,clips,D)
     term = qwen2.embed_tokens(params["llm"], jnp.asarray(list(terminator_ids), jnp.int32))
     term = jnp.broadcast_to(term[None, None], (g, k, len(terminator_ids), term.shape[-1]))
     suffix = jnp.concatenate([first.astype(emb_dtype), vid, term.astype(emb_dtype)], axis=2)

@@ -132,13 +132,15 @@ def ce_from_hidden(
         rows *= int(dim)
     budget = 128 * 2**20
     max_chunk = max(2048, (budget // (4 * rows)) // 2048 * 2048)
-    chunk = min(chunk, max_chunk)
     V = lm_kernel.shape[1]
+    chunk = min(chunk, max_chunk, V)
     n_chunks = -(-V // chunk)
-    pad = n_chunks * chunk - V
-    kernel = jnp.pad(lm_kernel, ((0, 0), (0, pad)))
+    # No vocab-axis padding: a padded copy of the lm_head is a 1.03GB HLO
+    # temp inside EVERY scoring step (it once tipped a step variant 30MB
+    # over the v5e's 15.75GB). The ragged last chunk instead slices at a
+    # clamped start — overlapping the previous chunk — and masks the
+    # already-processed columns out of the running softmax.
     if lora_b is not None:
-        lora_b = jnp.pad(lora_b, ((0, 0), (0, pad)))
         hidden_a = hidden @ lora_a  # (..., W, r)
 
     valid = labels != IGNORE_INDEX
@@ -151,19 +153,22 @@ def ce_from_hidden(
 
     def body(carry, i):
         m, l, tgt = carry
-        k_chunk = jax.lax.dynamic_slice_in_dim(kernel, i * chunk, chunk, axis=1)
+        start = jnp.minimum(i * chunk, V - chunk)
+        k_chunk = jax.lax.dynamic_slice_in_dim(lm_kernel, start, chunk, axis=1)
         logits = jnp.dot(hidden, k_chunk, preferred_element_type=jnp.float32)
         if lora_b is not None:
-            b_chunk = jax.lax.dynamic_slice_in_dim(lora_b, i * chunk, chunk, axis=1)
+            b_chunk = jax.lax.dynamic_slice_in_dim(lora_b, start, chunk, axis=1)
             logits = logits + jnp.dot(hidden_a, b_chunk, preferred_element_type=jnp.float32) * lora_scale
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
-        logits = jnp.where(col + i * chunk < V, logits, -1e30)
+        # fresh columns only: the clamped last chunk re-reads columns the
+        # previous chunk already accumulated
+        logits = jnp.where(col + start >= i * chunk, logits, -1e30)
 
         m_cur = jnp.max(logits, axis=-1)
         m_new = jnp.maximum(m, m_cur)
         l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(logits - m_new[..., None]), axis=-1)
-        local = safe_labels - i * chunk
-        in_chunk = (local >= 0) & (local < chunk)
+        local = safe_labels - start
+        in_chunk = (safe_labels >= i * chunk) & (local < chunk) & (local >= 0)
         t = jnp.take_along_axis(
             logits, jnp.clip(local, 0, chunk - 1)[..., None], axis=-1
         )[..., 0]

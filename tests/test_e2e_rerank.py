@@ -151,13 +151,27 @@ def test_e2e_host_streamed_features_match_resident(setup, tokenizer):
     assert streamed.flops > 0 and abs(streamed.flops - resident.flops) < 1e-6 * resident.flops
 
 
-def test_e2e_tvg_requires_device_feats(setup, tokenizer):
-    """The TVG path needs the device bank; a host-streamed bank must raise an
-    actionable error instead of silently uploading 500MB."""
+def test_e2e_tvg_works_with_streamed_feature_bank(setup, tokenizer):
+    """The shared-prefix TVG path gathers precomputed (V, clips, D)
+    embeddings (~28KB/video, always resident), so a host-streamed raw
+    feature bank no longer blocks the fine-tuned eval — results must match
+    the device-resident run. The naive TVG grid still needs the raw bank."""
     cfg, params, inputs, vtg_l, tvg_l = setup
     mesh = make_mesh(devices=jax.devices()[:1])
     engine = RerankEngine(params, cfg, vtg_l, tvg_l, mesh, batch_size=2,
                           max_device_feature_bytes=0)
+    t2v_s, v2t_s = evaluation(engine, inputs, tokenizer, "MSRVTT",
+                              topk=TOPK, cpn=False, has_tvg=True, verbose=False)
+    resident = RerankEngine(params, cfg, vtg_l, tvg_l, mesh, batch_size=2)
+    t2v_r, v2t_r = evaluation(resident, inputs, tokenizer, "MSRVTT",
+                              topk=TOPK, cpn=False, has_tvg=True, verbose=False)
+    for key in ("candidate_likelihood", "query_likelihood"):
+        np.testing.assert_allclose(t2v_s[key], t2v_r[key], rtol=0, atol=3e-4)
+        np.testing.assert_allclose(v2t_s[key], v2t_r[key], rtol=0, atol=3e-4)
+
+    banks = engine.upload(
+        CaptionBank.build_vtg(inputs.captions, tokenizer, "MSRVTT", vtg_l),
+        inputs.features,
+    )
     with pytest.raises(RuntimeError, match="device-resident feature bank"):
-        evaluation(engine, inputs, tokenizer, "MSRVTT",
-                   topk=TOPK, cpn=False, has_tvg=True, verbose=False)
+        engine._require_device_feats(banks, "naive TVG scoring")
