@@ -487,9 +487,12 @@ def flash_attention(
         # ~2x faster than XLA at res448 (33 vs 68 ms/layer measured on v5e)
         blk_k = s
         blk_q = next((c for c in range(512, 7, -8) if s % c == 0), blk_q)
-    # small problems: kernel launch + padding overhead beats any win, and the
-    # MXU needs a reasonable head dim to tile
-    if s * hq < 4096 or d % 128 != 0:
+    # small problems: kernel launch + padding overhead beats any win. Head-dim
+    # gate: blocks span the full d, which Mosaic accepts for any d, but
+    # sub-64 lanes waste the MXU — d=64 (the ViT) and d=128 (the LLM) pass.
+    # NOTE: a d % 128 gate here once silently kicked the ViT (d=64) off its
+    # 2x dense kernel — extraction regressed without any test noticing.
+    if s * hq < 4096 or d % 64 != 0:
         from blim_tpu.kernels.attention import _xla_attention
 
         return _xla_attention(q, k, v, key_mask, query_mask, causal, scale)

@@ -36,6 +36,8 @@ def bench(fn, args_list, warmup=2, iters=6):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--loop", type=int, default=16,
+                    help="dependent op calls chained inside one jit")
     ap.add_argument("--cases", default="prefix,train,vit")
     args = ap.parse_args()
 
@@ -81,13 +83,26 @@ def main():
         else:
             xla_run, pallas_run = xla_f, pallas_f
 
-        xla_j = jax.jit(xla_run)
-        pallas_j = jax.jit(pallas_run)
-        t_x = bench(xla_j, variants, iters=args.iters)
-        t_p = bench(pallas_j, variants, iters=args.iters)
+        # single calls through the tunnel sit at a ~27ms dispatch floor;
+        # chain LOOP dependent calls inside one jit so per-op time resolves
+        LOOP = args.loop
+
+        def chained(run):
+            def many(q, k, v, km, qm):
+                def body(qc, _):
+                    out = run(qc, k, v, km, qm)
+                    return qc + 0.001 * out.astype(qc.dtype), ()
+                qc, _ = jax.lax.scan(body, q, None, length=LOOP)
+                return qc
+            return jax.jit(many)
+
+        xla_j = chained(xla_run)
+        pallas_j = chained(pallas_run)
+        t_x = bench(xla_j, variants, iters=args.iters) / LOOP
+        t_p = bench(pallas_j, variants, iters=args.iters) / LOOP
         tag = "fwd+bwd" if with_bwd else "fwd"
-        print(f"{name:28s} {tag:7s} XLA {t_x*1e3:8.2f} ms   Pallas {t_p*1e3:8.2f} ms  "
-              f"({t_x/t_p:.2f}x {'win' if t_p < t_x else 'LOSS'})")
+        print(f"{name:28s} {tag:7s} XLA {t_x*1e3:8.3f} ms   Pallas {t_p*1e3:8.3f} ms  "
+              f"({t_x/t_p:.2f}x {'win' if t_p < t_x else 'LOSS'})", flush=True)
 
     cases = args.cases.split(",")
     if "prefix" in cases:
