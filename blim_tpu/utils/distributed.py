@@ -69,3 +69,19 @@ def barrier() -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("blim_tpu_barrier")
+
+
+def all_reduce_mean(x: float) -> float:
+    """Mean of a host-local scalar across processes (reference:
+    util/misc.py:314-322 — used for the per-iteration reduced loss).
+    Single-process runs return the value unchanged."""
+    import jax
+
+    ws = jax.process_count()
+    if ws <= 1:
+        return float(x)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    vals = multihost_utils.process_allgather(np.asarray([x], np.float64))
+    return float(np.asarray(vals).sum() / ws)

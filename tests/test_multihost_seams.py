@@ -143,3 +143,21 @@ def test_trainloader_shard_padding_matches_distributed_sampler(n, ws):
     assert list(order[n:]) == list(order[: size * ws - n])
     # deterministic per (seed, epoch): same loader, same epoch -> same shard
     np.testing.assert_array_equal(per_rank[0], loaders[0].epoch_indices(1))
+
+
+def test_all_reduce_mean_matches_reference(monkeypatch):
+    """all_reduce_mean must average a host-local scalar across processes
+    (reference: util/misc.py:314-322 divides the all_reduced sum by ws)."""
+    from jax.experimental import multihost_utils
+
+    from blim_tpu.utils import distributed
+
+    assert distributed.all_reduce_mean(3.5) == 3.5  # single process: identity
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather",
+        lambda arr: np.stack([np.asarray(arr) + i for i in range(4)]),
+    )
+    # hosts contribute 2.0, 3.0, 4.0, 5.0 -> mean 3.5
+    assert distributed.all_reduce_mean(2.0) == pytest.approx(3.5)
