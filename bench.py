@@ -81,9 +81,11 @@ def run_flow(engine, inputs, tok, dataset, topk, cpn, finetuned, naive, trials):
             # before allocating the next copy next to the 7B
             gc.collect()
             time.sleep(3)
-        engine.reset_flops()
         for attempt in (0, 1):
             try:
+                # inside the retry: a failed attempt's partial flops must not
+                # inflate the successful retry's MFU
+                engine.reset_flops()
                 t0 = time.perf_counter()
                 t2v, v2t = evaluation(
                     engine, inputs, tok, dataset, topk=topk, cpn=cpn,

@@ -441,16 +441,18 @@ class RerankEngine:
             )
 
         v = features.shape[0]
-        pad = (-v) % chunk
-        feats = np.asarray(features, np.float32)
-        if pad:
-            feats = np.concatenate(
-                [feats, np.zeros((pad, *feats.shape[1:]), np.float32)]
-            )
-        parts = [
-            chunk_fn(jnp.asarray(feats[s : s + chunk], feat_dtype))
-            for s in range(0, v + pad, chunk)
-        ]
+        # cast per chunk — a whole-bank fp32 host copy (plus another for the
+        # pad) is 2-3GB of transient RAM exactly for the banks too big for
+        # the device budget; the ragged tail pads only its own chunk
+        parts = []
+        for s in range(0, v, chunk):
+            piece = np.asarray(features[s : s + chunk], np.float32)
+            if piece.shape[0] < chunk:
+                piece = np.concatenate(
+                    [piece, np.zeros((chunk - piece.shape[0], *piece.shape[1:]),
+                                     np.float32)]
+                )
+            parts.append(chunk_fn(jnp.asarray(piece, feat_dtype)))
         return jax.device_put(jnp.concatenate(parts, axis=0)[:v], self._replicated)
 
     # -- jitted steps ----------------------------------------------------------

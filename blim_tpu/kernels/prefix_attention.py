@@ -241,12 +241,17 @@ def prefix_attention(
         # opt in.
         use_pallas = False
     # the fused q tile needs enough rows to feed the MXU, and hd must be a
-    # full lane tile. K chunks inside the wrapper, so only W and P are
-    # VMEM-bounded per program (the whole prefix KV loads once per chunk)
+    # full lane tile. K chunks inside the wrapper, but W and P are per-program
+    # invariants, so even a single-suffix chunk must satisfy the VMEM bounds
+    # the chunker enforces (3328 q rows; 1.52M fp32 score entries) — shapes
+    # that cannot fall back to XLA here instead of failing to compile.
+    w_pad = -(-w // 8) * 8
+    p_pad = -(-p_len // 16) * 16
     fits = (
         hd % 128 == 0
         and kk * w >= 128
-        and w <= 1024
+        and w_pad <= 3328
+        and w_pad * (p_pad + w_pad) <= 1_517_568
         and p_len * hd * 4 <= 2 * 2**20
     )
     if use_pallas and fits:

@@ -68,8 +68,8 @@ def test_llm_backward_engages_fused_kernels():
 
 
 @pytest.mark.parametrize("shape", [
-    (2, 8, 4, 2, 128),    # s * hq < 4096: launch overhead beats any win
-    (1, 256, 8, 4, 32),   # d=32: sub-64 lanes waste the MXU
+    (2, 8, 4, 2, 128),     # s * hq < 4096: launch overhead beats any win
+    (1, 1024, 8, 4, 32),   # s*hq passes the size gate; d=32 hits the d gate
 ])
 def test_small_or_narrow_shapes_fall_back(shape):
     q, k, v = _zeros(*shape)
