@@ -50,6 +50,7 @@ def evaluation(
     fill: float = -100.0,
     verbose: bool = True,
     shared_prefix: bool = True,
+    packed: bool = True,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     t_start = time.time()
     n = len(inputs.captions)
@@ -83,9 +84,13 @@ def evaluation(
             print(f"VTG union: {len(u_cap)} unique pairs of {len(all_caps)} "
                   f"grid cells (topk={topk})")
         # union groups hold ~2*topk pairs per video on average (each video is
-        # in its own v2t row AND ~topk queries' t2v lists): grouping at 2*topk
-        # halves the prefix recomputation
-        scores = engine.score_pairs_vtg_shared(vtg_banks, u_cap, u_vid, 2 * topk)
+        # in its own v2t row AND ~topk queries' t2v lists). Default: packed
+        # variable-length suffixes (varlen, ~40% fewer dispatched tokens);
+        # packed=False keeps the bucketed (K, W) rectangle schedule.
+        if packed:
+            scores = engine.score_pairs_vtg_packed(vtg_banks, u_cap, u_vid)
+        else:
+            scores = engine.score_pairs_vtg_shared(vtg_banks, u_cap, u_vid, 2 * topk)
         cand = np.full((n, n), fill, np.float32)
         cand[v_rows, v_cols] = scores[inv[:n1]]
         query = np.full((n, n), fill, np.float32)
@@ -93,7 +98,8 @@ def evaluation(
         v2t_dict["candidate_likelihood"] = cand
         t2v_dict["query_likelihood"] = query
         if cpn:
-            prior = engine.compute_vtg_priors(vtg_banks)
+            prior = (engine.compute_vtg_priors_packed(vtg_banks) if packed
+                     else engine.compute_vtg_priors(vtg_banks))
             pmat = np.full((n, n), fill, np.float32)
             pmat[v_rows, v_cols] = prior[v_cols]
             v2t_dict["candidate_prior"] = pmat

@@ -212,6 +212,54 @@ def group_pairs_by_video(
     return g_vid, g_cap, rows[g_pos], cols[g_pos]
 
 
+def build_packs(
+    key_idx: np.ndarray,       # (n_pairs,) group key per pair (video / 0 for priors)
+    cap_idx: np.ndarray,       # (n_pairs,) caption per pair
+    seg_lens: np.ndarray,      # (n_captions,) true suffix length per caption
+    pack_sizes: Tuple[int, ...] = (128, 256, 512),
+):
+    """Pack each key's caption suffixes back-to-back into fixed-size rows.
+
+    The TPU varlen schedule: a pack holds many variable-length caption
+    segments sharing ONE prefix, so short captions stop paying for the
+    group's longest one (the bucketed (K, W) rectangle wastes ~50% of
+    suffix tokens at the production caption-length distribution). Greedy
+    first-fit in input order; a pack never mixes keys.
+
+    Returns [(size, [(key, caps, pair_positions), ...])], largest size
+    first. Segment counts are bounded at size // 4 so the jitted step's
+    static n_segments covers every pack of that size.
+    """
+    t_max = pack_sizes[-1]
+    max_segs = t_max // 4
+    order = np.argsort(key_idx, kind="stable")
+    key_s, cap_s = key_idx[order], cap_idx[order]
+    packs = []
+    n = len(key_s)
+    start = 0
+    while start < n:
+        end = start
+        while end < n and key_s[end] == key_s[start]:
+            end += 1
+        caps, pos, load = [], [], 0
+        for j in range(start, end):
+            L = int(seg_lens[cap_s[j]])
+            assert L <= t_max, (L, t_max)
+            if load + L > t_max or len(caps) >= max_segs:
+                packs.append((int(key_s[start]), caps, pos, load))
+                caps, pos, load = [], [], 0
+            caps.append(int(cap_s[j]))
+            pos.append(int(order[j]))
+            load += L
+        packs.append((int(key_s[start]), caps, pos, load))
+        start = end
+    out: Dict[int, list] = {}
+    for key, caps, pos, load in packs:
+        size = next(s for s in pack_sizes if s >= load and len(caps) <= s // 4)
+        out.setdefault(size, []).append((key, caps, pos))
+    return [(size, out[size]) for size in sorted(out, reverse=True)]
+
+
 @functools.partial(jax.jit, static_argnames=("lora_scale", "out_dtype"))
 def _project_tvg_chunk(proj_params, proj_lora, feats, lora_scale, out_dtype):
     """Module-level jit (params as ARGS, not closure constants): one compile
@@ -349,6 +397,17 @@ class RerankEngine:
             ),
             static_argnames=("width",),
         )
+        self._vtg_packed_step = jax.jit(
+            functools.partial(
+                self._vtg_packed_step_impl, video_start=vtg_layout.video_start
+            ),
+            static_argnames=("n_segments", "video_direct"),
+        )
+        self._vtg_prior_packed_step = jax.jit(
+            self._vtg_prior_packed_step_impl, static_argnames=("n_segments",)
+        )
+        # packed-suffix schedule: variable-length caption segments share rows
+        self.pack_sizes = (128, 256, 512)
         # suffix width buckets: one compiled variant per bucket; a group runs
         # at the smallest bucket covering its longest caption
         full_w = vtg_layout.suffix_width
@@ -410,8 +469,12 @@ class RerankEngine:
             dev["suffix_ids"] = jax.device_put(jnp.asarray(bank.suffix_ids), self._replicated)
             dev["suffix_mask"] = jax.device_put(jnp.asarray(bank.suffix_mask), self._replicated)
             dev["suffix_labels"] = jax.device_put(jnp.asarray(bank.suffix_labels), self._replicated)
-            # host-side real suffix lengths for width bucketing
+            # host-side copies: real lengths for width bucketing, tokens and
+            # labels for host-side pack assembly (the packed path concatenates
+            # variable-length suffixes into fixed-size rows per step)
             dev["suffix_len_host"] = bank.suffix_mask.sum(axis=1).astype(np.int32)
+            dev["suffix_ids_host"] = np.asarray(bank.suffix_ids)
+            dev["suffix_labels_host"] = np.asarray(bank.suffix_labels)
         if bank.prefix_ids is not None:
             dev["prefix_ids"] = jax.device_put(jnp.asarray(bank.prefix_ids), self._replicated)
             dev["prefix_mask"] = jax.device_put(jnp.asarray(bank.prefix_mask), self._replicated)
@@ -551,6 +614,48 @@ class RerankEngine:
             use_pallas=self.use_pallas,
         )
         return scores[0]
+
+    def _vtg_packed_step_impl(
+        self, params, lora, banks, prefix_ids, prefix_mask, vid_or_idx,
+        pack_ids, pack_seg, pack_pos, pack_labels,
+        *, video_start: int, n_segments: int, video_direct: bool = False,
+    ):
+        """Packed-suffix VTG scoring: prefix KV once per pack's video, then
+        the pack's variable-length caption segments decode in one row.
+        Returns (G, n_segments) per-segment scores."""
+        if video_direct:
+            feat_dtype = params["llm"]["embed_tokens"]["embedding"].dtype
+            video = vid_or_idx.astype(feat_dtype)
+        else:
+            video = jnp.take(banks["feats"], vid_or_idx, axis=0)
+        g = pack_ids.shape[0]
+        prefix = jnp.broadcast_to(prefix_ids[None], (g, prefix_ids.shape[0]))
+        pmask = jnp.broadcast_to(prefix_mask[None], prefix.shape)
+        kv = vcf.vtg_prefix_hidden_kv(
+            params, self.config, prefix, video, video_start, prefix_mask=pmask,
+            lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+        )
+        return vcf.score_vtg_packed(
+            params, self.config, kv, pack_ids, pack_seg, pack_pos, pack_labels,
+            n_segments, prefix_mask=pmask, lora=lora, lora_scale=self.lora_scale,
+        )
+
+    def _vtg_prior_packed_step_impl(
+        self, params, lora, prior_kv, prior_mask,
+        pack_ids, pack_seg, pack_pos, pack_labels, *, n_segments: int,
+    ):
+        """Packed CPN priors: every caption shares the one text-only prefix,
+        so its KV broadcasts across the pack axis."""
+        g = pack_ids.shape[0]
+        kv = {
+            k: jnp.broadcast_to(v, (v.shape[0], g, *v.shape[2:]))
+            for k, v in prior_kv.items()
+        }
+        pmask = jnp.broadcast_to(prior_mask, (g, prior_mask.shape[1]))
+        return vcf.score_vtg_packed(
+            params, self.config, kv, pack_ids, pack_seg, pack_pos, pack_labels,
+            n_segments, prefix_mask=pmask, lora=lora, lora_scale=self.lora_scale,
+        )
 
     def _tvg_shared_step_impl(
         self, params, lora, banks, video_vocab, cap_idx, vid_idx,
@@ -878,6 +983,143 @@ class RerankEngine:
         for caps, out in pending:
             out = np.asarray(out, np.float32)
             prior[caps] = out[: len(caps)]
+        return prior
+
+    def _assemble_pack(self, banks, caps, size: int):
+        """Concatenate caption suffixes into one (size,) packed row.
+        Returns (ids, seg, pos, labels) int32 arrays."""
+        from blim_tpu.core.constants import IGNORE_INDEX
+
+        ids_h = banks["suffix_ids_host"]
+        labels_h = banks["suffix_labels_host"]
+        lens = banks["suffix_len_host"]
+        off = self.vtg_layout.prefix_len
+        ids = np.zeros(size, np.int32)
+        seg = np.full(size, -1, np.int32)
+        pos = np.zeros(size, np.int32)
+        lab = np.full(size, IGNORE_INDEX, np.int32)
+        o = 0
+        for si, c in enumerate(caps):
+            L = int(lens[c])
+            ids[o : o + L] = ids_h[c][:L]
+            # hidden at local position i predicts label i; the segment's last
+            # position predicts the next caption's first token — IGNORE it
+            lab[o : o + L - 1] = labels_h[c][: L - 1]
+            seg[o : o + L] = si
+            pos[o : o + L] = off + np.arange(L)
+            o += L
+        return ids, seg, pos, lab
+
+    def score_pairs_vtg_packed(
+        self,
+        banks: Dict[str, jax.Array],
+        cap_idx: np.ndarray,
+        vid_idx: np.ndarray,
+    ) -> np.ndarray:
+        """Packed-suffix VTG scores for a flat pair list -> (n,) in input
+        order. Each pack = one video's candidate captions back-to-back
+        (segment ids), replacing both the k-buckets and the width buckets
+        of the rectangle schedule: ~40% fewer dispatched tokens at the
+        production caption-length distribution, and 3 compiled variants
+        instead of 11."""
+        prefix_ids, prefix_mask = self._vtg_prefix_arrays()
+        P_len = int(prefix_ids.shape[0])
+        llm = self.config.llm
+        gs1 = NamedSharding(self.mesh, P(DATA_AXIS))
+        gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        gs4 = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
+        scores = np.zeros(len(cap_idx), np.float32)
+        stream = "feats" not in banks
+        dev_banks = self._dev_banks(banks)
+        pending = []
+
+        def consume(mapping, out):
+            out = np.asarray(out, np.float32)
+            for gi, pos_list in enumerate(mapping):
+                for si, pp in enumerate(pos_list):
+                    scores[pp] = out[gi, si]
+
+        for size, packs in build_packs(
+            vid_idx, cap_idx, banks["suffix_len_host"], self.pack_sizes
+        ):
+            lo, hi = self._process_shard(len(packs))
+            packs = packs[lo:hi]
+            if not packs:
+                continue
+            n_seg = size // 4
+            # constant token feed per chip-step, bounded by prefix-KV HBM
+            G = max(1, min(2200 // (P_len + size), 8)) * self.n_data
+            rows = [self._assemble_pack(banks, caps, size) for _, caps, _ in packs]
+            vids = np.asarray([key for key, _, _ in packs], np.int32)
+            m = len(packs)
+            m_pad = -(-m // G) * G
+            sel = np.concatenate([np.arange(m), np.zeros(m_pad - m, np.int64)])
+            for s in range(0, m_pad, G):
+                sl = sel[s : s + G]
+                ids = jax.device_put(np.stack([rows[i][0] for i in sl]), gs2)
+                segs = jax.device_put(np.stack([rows[i][1] for i in sl]), gs2)
+                poss = jax.device_put(np.stack([rows[i][2] for i in sl]), gs2)
+                labs = jax.device_put(np.stack([rows[i][3] for i in sl]), gs2)
+                if stream:
+                    vi = jax.device_put(banks["feats_host"][vids[sl]], gs4)
+                else:
+                    vi = jax.device_put(jnp.asarray(vids[sl]), gs1)
+                out = self._vtg_packed_step(
+                    self.params, self.lora, dev_banks, prefix_ids, prefix_mask,
+                    vi, ids, segs, poss, labs,
+                    n_segments=n_seg, video_direct=stream,
+                )
+                self.flops += flops_lib.prefix_forward_flops(llm, G, P_len)
+                self.flops += flops_lib.packed_suffix_forward_flops(llm, G, size, P_len)
+                n_real = min(G, m - s)
+                pending.append(([packs[i][2] for i in sl[:n_real]], out))
+                if stream and len(pending) >= 8:
+                    consume(*pending.pop(0))
+        for mapping, out in pending:
+            consume(mapping, out)
+        return self._allreduce_scores(scores)
+
+    def compute_vtg_priors_packed(self, banks: Dict[str, jax.Array]) -> np.ndarray:
+        """CPN prior P(t) for EVERY caption via the packed schedule: all
+        captions share the one text-only prefix, so packs fill with zero
+        grouping constraints. Returns (n_captions,)."""
+        prior_kv, prior_mask = self.compute_prior_kv(self.vtg_layout)
+        P_prior = int(prior_mask.shape[1])
+        self.flops += flops_lib.prefix_forward_flops(self.config.llm, 1, P_prior)
+        n_caps = int(banks["suffix_ids"].shape[0])
+        prior = np.zeros(n_caps, np.float32)
+        gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        pending = []
+        for size, packs in build_packs(
+            np.zeros(n_caps, np.int64), np.arange(n_caps),
+            banks["suffix_len_host"], self.pack_sizes,
+        ):
+            n_seg = size // 4
+            G = max(1, min(2200 // (P_prior + size), 8)) * self.n_data
+            rows = [self._assemble_pack(banks, caps, size) for _, caps, _ in packs]
+            m = len(packs)
+            m_pad = -(-m // G) * G
+            sel = np.concatenate([np.arange(m), np.zeros(m_pad - m, np.int64)])
+            for s in range(0, m_pad, G):
+                sl = sel[s : s + G]
+                ids = jax.device_put(np.stack([rows[i][0] for i in sl]), gs2)
+                segs = jax.device_put(np.stack([rows[i][1] for i in sl]), gs2)
+                poss = jax.device_put(np.stack([rows[i][2] for i in sl]), gs2)
+                labs = jax.device_put(np.stack([rows[i][3] for i in sl]), gs2)
+                out = self._vtg_prior_packed_step(
+                    self.params, self.lora, prior_kv, prior_mask,
+                    ids, segs, poss, labs, n_segments=n_seg,
+                )
+                self.flops += flops_lib.packed_suffix_forward_flops(
+                    self.config.llm, G, size, P_prior
+                )
+                n_real = min(G, m - s)
+                pending.append(([packs[i][1] for i in sl[:n_real]], out))
+        for mapping, out in pending:
+            out = np.asarray(out, np.float32)
+            for gi, caps in enumerate(mapping):
+                for si, c in enumerate(caps):
+                    prior[c] = out[gi, si]
         return prior
 
     def score_grid_vtg_shared(

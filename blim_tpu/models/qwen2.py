@@ -316,6 +316,111 @@ def _grouped_prefix_attention(
     return out.reshape(g, kk, w, hq, hd)
 
 
+def _packed_prefix_attention(
+    q: jax.Array,        # (G, T, Hq, hd) — packed variable-length suffixes
+    k_suf: jax.Array,    # (G, T, Hkv, hd)
+    v_suf: jax.Array,
+    k_pre: jax.Array,    # (G, P, Hkv, hd)
+    v_pre: jax.Array,
+    seg_ids: jax.Array,  # (G, T) int32; -1 = padding
+    scale: float,
+    prefix_mask: Optional[jax.Array] = None,   # (G, P)
+) -> jax.Array:
+    """Attention of packed suffix tokens over [shared prefix | own segment].
+
+    The pack concatenates many captions back-to-back (flash-attn varlen,
+    TPU-style): a token attends to the whole (masked) prefix plus the
+    causally-earlier tokens of ITS OWN segment only. Padding tokens (seg -1)
+    neither see nor are seen and emit zeros.
+    """
+    g, t, hq, hd = q.shape
+    hkv = k_suf.shape[2]
+    groups = hq // hkv
+    qf = q.astype(jnp.float32).reshape(g, t, hkv, groups, hd) * scale
+
+    s_pre = jnp.einsum("gthud,gphd->ghutp", qf, k_pre.astype(jnp.float32))
+    s_suf = jnp.einsum("gthud,gshd->ghuts", qf, k_suf.astype(jnp.float32))
+
+    valid_q = seg_ids >= 0
+    if prefix_mask is not None:
+        pm = prefix_mask.astype(bool)[:, None, None, None, :]
+        s_pre = jnp.where(pm, s_pre, -1e30)
+
+    same = seg_ids[:, :, None] == seg_ids[:, None, :]           # (G, T, T)
+    causal = jnp.arange(t)[:, None] >= jnp.arange(t)[None, :]
+    vis = same & causal[None] & valid_q[:, None, :]             # key validity
+    s_suf = jnp.where(vis[:, None, None], s_suf, -1e30)
+
+    s = jnp.concatenate([s_pre, s_suf], axis=-1)
+    p = jax.nn.softmax(s, axis=-1)
+    p_pre, p_suf = p[..., : s_pre.shape[-1]], p[..., s_pre.shape[-1]:]
+    out = jnp.einsum("ghutp,gphd->gthud", p_pre.astype(v_pre.dtype), v_pre)
+    out = out + jnp.einsum("ghuts,gshd->gthud", p_suf.astype(v_suf.dtype), v_suf)
+    out = out * valid_q[:, :, None, None, None].astype(out.dtype)
+    return out.reshape(g, t, hq, hd)
+
+
+def forward_packed_suffix(
+    params: Params,
+    config: Qwen2Config,
+    suffix_embeds: jax.Array,     # (G, T, D) packed caption tokens
+    prefix_kv: Dict[str, jax.Array],   # k/v: (L, G, P, Hkv, hd)
+    seg_ids: jax.Array,           # (G, T) int32; -1 = padding
+    positions: jax.Array,         # (G, T) global positions (per-segment restart)
+    *,
+    prefix_mask: Optional[jax.Array] = None,   # (G, P)
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+) -> jax.Array:
+    """Decode a pack of variable-length caption suffixes against one shared
+    prefix per pack -> hidden (G, T, D).
+
+    The packed analogue of `forward_suffix_with_prefix`: instead of a
+    (K, W) rectangle padded to the longest caption, captions lie back to
+    back with segment ids — the TPU equivalent of the reference's
+    flash-attn varlen path (modeling_qwen2_flash.py:528-628), eliminating
+    the ~50% width-padding waste of bucketed rectangles.
+    """
+    from blim_tpu.adapters.lora import apply_dense
+
+    c = config
+    G, T, D = suffix_embeds.shape
+    H, Kh, hd = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+    cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta)   # (G, T, hd)
+
+    def scan_body(hidden, xs):
+        if lora is None:
+            (lp, kv_k, kv_v), ll = xs, None
+        else:
+            lp, kv_k, kv_v, ll = xs
+
+        def lo(name):
+            return None if ll is None else ll.get(name)
+
+        x = rms_norm(hidden, lp["input_layernorm"]["scale"], c.rms_norm_eps)
+        q = apply_dense(lp["q_proj"], x, lo("q_proj"), lora_scale).reshape(G, T, H, hd)
+        k = apply_dense(lp["k_proj"], x, lo("k_proj"), lora_scale).reshape(G, T, Kh, hd)
+        v = apply_dense(lp["v_proj"], x, lo("v_proj"), lora_scale).reshape(G, T, Kh, hd)
+        q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+        attn = _packed_prefix_attention(
+            q, k, v, kv_k, kv_v, seg_ids, hd ** -0.5, prefix_mask=prefix_mask
+        )
+        attn = apply_dense(lp["o_proj"], attn.reshape(G, T, H * hd), lo("o_proj"), lora_scale)
+        hidden = hidden + attn
+        x = rms_norm(hidden, lp["post_attention_layernorm"]["scale"], c.rms_norm_eps)
+        gate = jax.nn.silu(x @ lp["gate_proj"]["kernel"])
+        up = x @ lp["up_proj"]["kernel"]
+        hidden = hidden + (gate * up) @ lp["down_proj"]["kernel"]
+        return hidden, None
+
+    if lora is None:
+        xs = (params["layers"], prefix_kv["k"], prefix_kv["v"])
+    else:
+        xs = (params["layers"], prefix_kv["k"], prefix_kv["v"], lora["layers"])
+    hidden, _ = jax.lax.scan(scan_body, suffix_embeds, xs)
+    return rms_norm(hidden, params["norm"]["scale"], config.rms_norm_eps)
+
+
 def forward_suffix_with_prefix(
     params: Params,
     config: Qwen2Config,

@@ -557,6 +557,43 @@ def tvg_prefix_kv(
     return kv
 
 
+def score_vtg_packed(
+    params: Params,
+    config: ModelConfig,
+    prefix_kv,                   # k/v: (L, G, P, Hkv, hd)
+    pack_ids: jax.Array,         # (G, T) packed caption suffix tokens
+    pack_seg: jax.Array,         # (G, T) segment id per token; -1 = padding
+    pack_pos: jax.Array,         # (G, T) global positions (restart per segment)
+    pack_labels: jax.Array,      # (G, T) next-token labels; IGNORE elsewhere
+    n_segments: int,             # static: max segments per pack
+    *,
+    prefix_mask: Optional[jax.Array] = None,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+) -> jax.Array:
+    """Per-segment mean log-likelihoods for a PACK of variable-length caption
+    suffixes sharing one prefix -> (G, n_segments).
+
+    The packed counterpart of `score_vtg_suffix`: captions lie back to back
+    with segment ids instead of a width-padded (K, W) rectangle, so short
+    captions stop paying for the group's longest one (the reference's
+    flash-attn varlen idea, done with static shapes)."""
+    llm_lora, _ = _lora_parts(lora)
+    emb = qwen2.embed_tokens(params["llm"], pack_ids)
+    hidden = qwen2.forward_packed_suffix(
+        params["llm"], config.llm, emb, prefix_kv, pack_seg, pack_pos,
+        prefix_mask=prefix_mask, lora=llm_lora, lora_scale=lora_scale,
+    )
+    kernel, la, lb = _lm_head_parts(params, lora)
+    ce, valid = criteria.ce_from_hidden(hidden, kernel, pack_labels, la, lb, lora_scale)
+    seg_oh = jax.nn.one_hot(
+        jnp.clip(pack_seg, 0, n_segments - 1), n_segments, dtype=jnp.float32
+    ) * (pack_seg >= 0)[..., None].astype(jnp.float32)
+    total = jnp.einsum("gts,gt->gs", seg_oh, ce)
+    count = jnp.einsum("gts,gt->gs", seg_oh, valid.astype(jnp.float32))
+    return -(total / jnp.maximum(count, 1.0))
+
+
 def score_tvg_shared(
     params: Params,
     config: ModelConfig,

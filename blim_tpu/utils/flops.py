@@ -81,6 +81,18 @@ def suffix_forward_flops(cfg: Qwen2Config, batch: int, width: int,
     )
 
 
+def packed_suffix_forward_flops(cfg: Qwen2Config, n_packs: int, pack_len: int,
+                                prefix_len: int) -> float:
+    """Packed-suffix forward against cached prefix KV: the attention einsum
+    computes the full (T, P+T) score grid per pack (segment masking discards,
+    not skips), and the fused CE runs on every pack position."""
+    return (
+        n_packs * pack_len * decoder_matmul_flops_per_token(cfg)
+        + attention_flops(cfg, n_packs * pack_len * (prefix_len + pack_len))
+        + lm_head_flops(cfg, n_packs * pack_len)
+    )
+
+
 def tvg_head_flops(config: ModelConfig, clips: float, vocab_videos: int) -> float:
     """visual_head projection + video-vocab bmm per gathered clip token."""
     h, mm = config.llm.hidden_size, config.mm_hidden_size

@@ -127,3 +127,61 @@ def test_group_pairs_bucketed_covers_all_pairs_with_small_remainders():
     # and is far below plain k_main chunking for this distribution
     plain_groups = sum(-(-c // 32) for c in counts.values())
     assert total_slots < plain_groups * 32
+
+
+def test_build_packs_covers_all_pairs_without_mixing_keys():
+    from blim_tpu.engine.rerank import build_packs
+
+    rng = np.random.default_rng(0)
+    key_idx, cap_idx = [], []
+    for v in range(15):
+        c = int(rng.integers(1, 60))
+        key_idx += [v] * c
+        cap_idx += list(rng.integers(0, 200, c))
+    key_idx, cap_idx = np.asarray(key_idx), np.asarray(cap_idx)
+    seg_lens = rng.integers(5, 30, 200)
+
+    seen = set()
+    for size, packs in build_packs(key_idx, cap_idx, seg_lens, (64, 128, 256)):
+        for key, caps, positions in packs:
+            assert len(caps) == len(positions) <= size // 4
+            load = sum(int(seg_lens[c]) for c in caps)
+            assert load <= size
+            for c, p in zip(caps, positions):
+                assert key_idx[p] == key and cap_idx[p] == c
+                seen.add(p)
+    assert seen == set(range(len(key_idx)))   # every pair exactly once
+
+
+def test_packed_matches_naive_likelihood_and_prior(setup):
+    """The varlen pack schedule must reproduce the rectangle schedule AND the
+    naive full-sequence scores exactly (same math, different batching)."""
+    engine, banks, rows, cols = setup
+    vid_idx = rows.copy()
+    naive, naive_prior = engine.score_grid_vtg(
+        banks, rows, cols, cap_idx=cols, vid_idx=vid_idx,
+        out_shape=(N, N), with_prior=True,
+    )
+    packed = engine.score_pairs_vtg_packed(banks, np.asarray(cols), vid_idx)
+    mat = np.full((N, N), -100.0, np.float32)
+    mat[rows, cols] = packed
+    mask = naive > -100.0
+    np.testing.assert_allclose(mat[mask], naive[mask], rtol=3e-4, atol=3e-4)
+
+    prior = engine.compute_vtg_priors_packed(banks)
+    pmat = np.full((N, N), -100.0, np.float32)
+    pmat[rows, cols] = prior[cols]
+    np.testing.assert_allclose(pmat[mask], naive_prior[mask], rtol=3e-4, atol=3e-4)
+
+
+def test_packed_t2v_direction(setup):
+    engine, banks, rows, cols = setup
+    naive, _ = engine.score_grid_vtg(
+        banks, rows, cols, cap_idx=rows, vid_idx=cols,
+        out_shape=(N, N), with_prior=False,
+    )
+    packed = engine.score_pairs_vtg_packed(banks, np.asarray(rows), np.asarray(cols))
+    mat = np.full((N, N), -100.0, np.float32)
+    mat[rows, cols] = packed
+    mask = naive > -100.0
+    np.testing.assert_allclose(mat[mask], naive[mask], rtol=3e-4, atol=3e-4)
