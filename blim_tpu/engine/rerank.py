@@ -429,7 +429,13 @@ class RerankEngine:
                     position_offset=tvg_layout.prefix_len,
                     terminator_ids=tvg_layout.terminator_ids,
                 ),
-                static_argnames=("with_prior",),
+                static_argnames=("with_prior", "prefix_width"),
+            )
+            # TVG prefix width buckets (left-pad trimming): the dominant
+            # k-bucket runs at the smallest width covering its captions
+            P_full = tvg_layout.prefix_len
+            self.tvg_prefix_buckets = tuple(
+                sorted({w for w in (96, 128, 192) if w < P_full} | {P_full})
             )
 
     # -- device-resident banks ------------------------------------------------
@@ -480,6 +486,10 @@ class RerankEngine:
             dev["prefix_mask"] = jax.device_put(jnp.asarray(bank.prefix_mask), self._replicated)
             dev["prefix_cpn"] = jax.device_put(jnp.asarray(bank.prefix_cpn), self._replicated)
             dev["first_ids"] = jax.device_put(jnp.asarray(bank.first_ids), self._replicated)
+            # real (unpadded) prefix length per caption, for width bucketing:
+            # the left-padded TVG prefix is ~70% pad at typical caption
+            # lengths, and pad keys are dispatched work even though masked
+            dev["prefix_len_host"] = bank.prefix_mask.sum(axis=1).astype(np.int32)
             # TVG video embeddings are pair-independent: run tvg_mlp + clip
             # mean ONCE per video here. The shared-prefix TVG step then
             # gathers (V, clips, D) rows instead of projecting per pair —
@@ -660,20 +670,32 @@ class RerankEngine:
     def _tvg_shared_step_impl(
         self, params, lora, banks, video_vocab, cap_idx, vid_idx,
         *, with_prior: bool, position_offset: int, terminator_ids,
+        prefix_width: Optional[int] = None,
     ):
         """Shared-prefix TVG scoring grouped by caption: prefix KV once per
         caption (G captions), K candidate-video suffixes each.
-        cap_idx (G,), vid_idx (G, K)."""
+        cap_idx (G,), vid_idx (G, K).
+
+        `prefix_width` (static) slices the LEFT-PADDED prefix to its last B
+        columns — the dropped columns are pad (mask 0, exactly excluded from
+        attention), but computing their K/V was ~70% of the TVG prefix work
+        at typical caption lengths. Kept tokens keep their absolute
+        positions via explicit position_ids."""
         g, k = vid_idx.shape
-        prefix_ids = jnp.take(banks["prefix_ids"], cap_idx, axis=0)
+        P_full = int(banks["prefix_ids"].shape[1])
+        B = prefix_width or P_full
+        off = P_full - B
+        prefix_ids = jnp.take(banks["prefix_ids"], cap_idx, axis=0)[:, off:]
+        positions = jnp.broadcast_to((off + jnp.arange(B))[None], (g, B))
         first_ids = jnp.take(banks["first_ids"], cap_idx, axis=0)
         # gather the precomputed (V, clips, D) TVG embeddings, not raw features
         video = jnp.take(banks["tvg_embeds"], vid_idx.reshape(-1), axis=0)
         video = video.reshape(g, k, *video.shape[1:])
 
-        def run(pm, cpn):
+        def run(pm_full, cpn):
+            pm = pm_full[:, off:]
             kv = vcf.tvg_prefix_kv(
-                params, self.config, prefix_ids, pm,
+                params, self.config, prefix_ids, pm, position_ids=positions,
                 lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
             )
             return vcf.score_tvg_shared(
@@ -730,30 +752,46 @@ class RerankEngine:
             # every big-G variant is another compiled program whose scratch
             # stays resident next to the 7B, and the remainder k-buckets are
             # a small minority of groups, so feeding them stays cheap.
+            # prefix width buckets apply to the dominant k-bucket only (each
+            # (k, width) pair is another compiled program next to the 7B);
+            # remainders run at the full width. A group's width covers its
+            # one caption's real (unpadded) prefix length.
             if k == topk:
-                tokens_per_group = P_tvg + k * Wt
-                G_k = min(G * 1100 // tokens_per_group, 8 * self.n_data)
-                G_k = max(self.n_data, G_k // self.n_data * self.n_data)
+                widths = self.tvg_prefix_buckets
             else:
-                G_k = self.n_data
-            m_pad = -(-m // G_k) * G_k
-            sel = np.concatenate(
-                [np.arange(m), np.zeros(m_pad - m, np.int64)]
-            )
-            for s in range(0, m_pad, G_k):
-                sl = sel[s : s + G_k]
-                ci = jax.device_put(jnp.asarray(g_cap[sl]), gs1)
-                vi = jax.device_put(jnp.asarray(g_vid[sl]), gs2)
-                n_real = min(G_k, m - s)
-                pending.append((g_pos[sl[:n_real]].reshape(n_real, k), self._tvg_shared_step(
-                    self.params, self.lora, dev_banks, video_vocab, ci, vi,
-                    with_prior=with_prior
-                )))
-                self.flops += n_passes * (
-                    flops_lib.prefix_forward_flops(llm, G_k, P_tvg)
-                    + flops_lib.suffix_forward_flops(llm, G_k * k, Wt, P_tvg)
-                    + flops_lib.tvg_head_flops(self.config, G_k * k * self.config.num_clips, V)
+                widths = (P_tvg,)
+            g_need = banks["prefix_len_host"][g_cap]
+            for B in widths:
+                smaller = [x for x in widths if x < B]
+                floor = max(smaller) if smaller else -1
+                (wsel,) = np.nonzero((g_need > floor) & (g_need <= B))
+                if not len(wsel):
+                    continue
+                mb = len(wsel)
+                if k == topk:
+                    tokens_per_group = B + k * Wt
+                    G_k = min(G * 1100 // tokens_per_group, 8 * self.n_data)
+                    G_k = max(self.n_data, G_k // self.n_data * self.n_data)
+                else:
+                    G_k = self.n_data
+                m_pad = -(-mb // G_k) * G_k
+                sel = np.concatenate(
+                    [wsel, np.repeat(wsel[:1], m_pad - mb)]
                 )
+                for s in range(0, m_pad, G_k):
+                    sl = sel[s : s + G_k]
+                    ci = jax.device_put(jnp.asarray(g_cap[sl]), gs1)
+                    vi = jax.device_put(jnp.asarray(g_vid[sl]), gs2)
+                    n_real = min(G_k, mb - s)
+                    pending.append((g_pos[sl[:n_real]].reshape(n_real, k), self._tvg_shared_step(
+                        self.params, self.lora, dev_banks, video_vocab, ci, vi,
+                        with_prior=with_prior, prefix_width=int(B),
+                    )))
+                    self.flops += n_passes * (
+                        flops_lib.prefix_forward_flops(llm, G_k, int(B))
+                        + flops_lib.suffix_forward_flops(llm, G_k * k, Wt, int(B))
+                        + flops_lib.tvg_head_flops(self.config, G_k * k * self.config.num_clips, V)
+                    )
         for pos, (score, prior) in pending:
             score = np.asarray(score, np.float32)
             if with_prior:

@@ -540,6 +540,8 @@ def tvg_prefix_kv(
     config: ModelConfig,
     prefix_ids: jax.Array,      # (G, P) left-padded text prompt through "assistant\n"[:-1]
     prefix_mask: jax.Array,     # (G, P) — attention mask OR the CPN prior mask
+    position_ids: Optional[jax.Array] = None,   # absolute positions when the
+                                # left-pad has been trimmed to a width bucket
     *,
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
@@ -551,7 +553,7 @@ def tvg_prefix_kv(
     llm_lora, _ = _lora_parts(lora)
     emb = qwen2.embed_tokens(params["llm"], prefix_ids)
     _, kv = qwen2.forward_collect_kv(
-        params["llm"], config.llm, emb, prefix_mask,
+        params["llm"], config.llm, emb, prefix_mask, position_ids,
         lora=llm_lora, lora_scale=lora_scale, use_pallas=use_pallas,
     )
     return kv
