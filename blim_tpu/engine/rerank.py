@@ -39,11 +39,11 @@ from blim_tpu.utils import flops as flops_lib
 
 Params = Dict[str, Any]
 
-# Alignment multiples for the shared-prefix arrays. 1 = exact sizes (fastest
-# with the default XLA attention path); set 128/8 when enabling the Pallas
-# prefix-attention kernel, whose tiles need them.
-PREFIX_ALIGN = 1
-SUFFIX_ALIGN = 1
+# Shared-prefix arrays use EXACT sizes: the XLA path is fastest unpadded
+# (alignment padding measured 13% slower on v5e) and the fused-K Pallas
+# prefix kernel pads to its tiles internally. A configurable alignment knob
+# here once silently broke the TVG left-pad trimming's geometry assumption,
+# so there deliberately isn't one.
 
 
 @dataclasses.dataclass
@@ -65,21 +65,11 @@ class CaptionBank:
         cs = layout.caption_start
         sw = layout.suffix_width
         labels = np.stack([e["labels"][cs : cs + wl] for e in encs])
-        from blim_tpu.core.constants import IGNORE_INDEX
-
-        # suffix alignment only matters for the opt-in Pallas prefix kernel;
-        # the default XLA path is fastest at exact sizes (measured on v5e)
-        sw8 = -(-sw // SUFFIX_ALIGN) * SUFFIX_ALIGN
-        pad = sw8 - sw
 
         def padded(key, fill):
-            arr = np.stack([e[key][cs - 1 : cs - 1 + sw] for e in encs])
-            return np.pad(arr, ((0, 0), (0, pad)), constant_values=fill)
+            return np.stack([e[key][cs - 1 : cs - 1 + sw] for e in encs])
 
         suffix_labels = np.stack([e["labels"][cs : cs + sw - 1] for e in encs])
-        suffix_labels = np.pad(
-            suffix_labels, ((0, 0), (0, pad)), constant_values=IGNORE_INDEX
-        )
         return cls(
             input_ids=np.stack([e["input_ids"] for e in encs]),
             attention_mask=np.stack([e["attention_mask"] for e in encs]),
@@ -99,12 +89,9 @@ class CaptionBank:
     def build_tvg(cls, captions, tokenizer, layout: TVGLayout) -> "CaptionBank":
         encs = [layout.encode_caption(c, tokenizer) for c in captions]
         P = layout.prefix_len
-        # prefix alignment only for the opt-in Pallas kernel (see SUFFIX_ALIGN)
-        pad = -(-P // PREFIX_ALIGN) * PREFIX_ALIGN - P
 
         def padded(key, fill):
-            arr = np.stack([e[key][:P] for e in encs])
-            return np.pad(arr, ((0, 0), (0, pad)), constant_values=fill)
+            return np.stack([e[key][:P] for e in encs])
 
         return cls(
             input_ids=np.stack([e["input_ids"] for e in encs]),
@@ -406,8 +393,12 @@ class RerankEngine:
         self._vtg_prior_packed_step = jax.jit(
             self._vtg_prior_packed_step_impl, static_argnames=("n_segments",)
         )
-        # packed-suffix schedule: variable-length caption segments share rows
-        self.pack_sizes = (128, 256, 512)
+        # packed-suffix schedule: variable-length caption segments share rows.
+        # The largest size must cover one full-budget caption — configs with
+        # suffix widths beyond 512 get an extra 128-aligned size instead of
+        # tripping build_packs' fits-assertion.
+        top = -(-vtg_layout.suffix_width // 128) * 128
+        self.pack_sizes = tuple(sorted({128, 256, 512} | ({top} if top > 512 else set())))
         # suffix width buckets: one compiled variant per bucket; a group runs
         # at the smallest bucket covering its longest caption
         full_w = vtg_layout.suffix_width
@@ -831,20 +822,15 @@ class RerankEngine:
         return mat, pmat
 
     def _vtg_prefix_arrays(self):
-        """(prefix ids, prefix mask), aligned only when the kernel needs it."""
+        """(prefix ids, prefix mask) at exact sizes."""
         ids = self.vtg_layout.prefix_token_ids()
-        pad = -(-len(ids) // PREFIX_ALIGN) * PREFIX_ALIGN - len(ids)
-        mask = np.concatenate([np.ones(len(ids), np.int32), np.zeros(pad, np.int32)])
-        ids = np.concatenate([ids, np.zeros(pad, np.int32)])
+        mask = np.ones(len(ids), np.int32)
         return jnp.asarray(ids), jnp.asarray(mask)
 
     def compute_prior_kv(self, layout: VTGLayout):
-        """(prior prefix KV, prior prefix mask) — padded to 128."""
+        """(prior prefix KV, prior prefix mask) at exact sizes."""
         ids, pos = layout.prior_prefix()
-        pad = -(-len(ids) // PREFIX_ALIGN) * PREFIX_ALIGN - len(ids)
-        mask = np.concatenate([np.ones(len(ids), np.int32), np.zeros(pad, np.int32)])
-        ids = np.concatenate([ids, np.zeros(pad, np.int32)])
-        pos = np.concatenate([pos, np.zeros(pad, np.int32)])
+        mask = np.ones(len(ids), np.int32)
         kv = jax.jit(
             functools.partial(
                 vcf.vtg_text_prefix_kv, config=self.config,
@@ -1084,38 +1070,45 @@ class RerankEngine:
             packs = packs[lo:hi]
             if not packs:
                 continue
-            n_seg = size // 4
-            # constant token feed per chip-step, bounded by prefix-KV HBM
-            G = max(1, min(2200 // (P_len + size), 8)) * self.n_data
-            rows = [self._assemble_pack(banks, caps, size) for _, caps, _ in packs]
             vids = np.asarray([key for key, _, _ in packs], np.int32)
-            m = len(packs)
-            m_pad = -(-m // G) * G
-            sel = np.concatenate([np.arange(m), np.zeros(m_pad - m, np.int64)])
-            for s in range(0, m_pad, G):
-                sl = sel[s : s + G]
-                ids = jax.device_put(np.stack([rows[i][0] for i in sl]), gs2)
-                segs = jax.device_put(np.stack([rows[i][1] for i in sl]), gs2)
-                poss = jax.device_put(np.stack([rows[i][2] for i in sl]), gs2)
-                labs = jax.device_put(np.stack([rows[i][3] for i in sl]), gs2)
+
+            def run_step(sl, arrs, size=size, vids=vids):
+                ids, segs, poss, labs = (jax.device_put(a, gs2) for a in arrs)
                 if stream:
                     vi = jax.device_put(banks["feats_host"][vids[sl]], gs4)
                 else:
                     vi = jax.device_put(jnp.asarray(vids[sl]), gs1)
-                out = self._vtg_packed_step(
+                self.flops += flops_lib.prefix_forward_flops(llm, len(sl), P_len)
+                self.flops += flops_lib.packed_suffix_forward_flops(llm, len(sl), size, P_len)
+                return self._vtg_packed_step(
                     self.params, self.lora, dev_banks, prefix_ids, prefix_mask,
                     vi, ids, segs, poss, labs,
-                    n_segments=n_seg, video_direct=stream,
+                    n_segments=size // 4, video_direct=stream,
                 )
-                self.flops += flops_lib.prefix_forward_flops(llm, G, P_len)
-                self.flops += flops_lib.packed_suffix_forward_flops(llm, G, size, P_len)
-                n_real = min(G, m - s)
-                pending.append(([packs[i][2] for i in sl[:n_real]], out))
+
+            G = max(1, min(2200 // (P_len + size), 8)) * self.n_data
+            for sl_real, out in self._run_pack_batches(packs, size, banks, G, run_step):
+                pending.append(([packs[i][2] for i in sl_real], out))
                 if stream and len(pending) >= 8:
                     consume(*pending.pop(0))
         for mapping, out in pending:
             consume(mapping, out)
         return self._allreduce_scores(scores)
+
+    def _run_pack_batches(self, packs, size, banks, G, run_step):
+        """Shared pack-dispatch loop: assemble rows, pad the pack list to a
+        multiple of G (repeating pack 0 — idempotent scatter), call
+        run_step(sl, stacked_arrays) per batch. Yields (real pack indices,
+        step output) pairs."""
+        rows = [self._assemble_pack(banks, caps, size) for _, caps, _ in packs]
+        m = len(packs)
+        m_pad = -(-m // G) * G
+        sel = np.concatenate([np.arange(m), np.zeros(m_pad - m, np.int64)])
+        for s in range(0, m_pad, G):
+            sl = sel[s : s + G]
+            arrs = tuple(np.stack([rows[i][j] for i in sl]) for j in range(4))
+            out = run_step(sl, arrs)
+            yield sl[: min(G, m - s)], out
 
     def compute_vtg_priors_packed(self, banks: Dict[str, jax.Array]) -> np.ndarray:
         """CPN prior P(t) for EVERY caption via the packed schedule: all
@@ -1132,27 +1125,20 @@ class RerankEngine:
             np.zeros(n_caps, np.int64), np.arange(n_caps),
             banks["suffix_len_host"], self.pack_sizes,
         ):
-            n_seg = size // 4
-            G = max(1, min(2200 // (P_prior + size), 8)) * self.n_data
-            rows = [self._assemble_pack(banks, caps, size) for _, caps, _ in packs]
-            m = len(packs)
-            m_pad = -(-m // G) * G
-            sel = np.concatenate([np.arange(m), np.zeros(m_pad - m, np.int64)])
-            for s in range(0, m_pad, G):
-                sl = sel[s : s + G]
-                ids = jax.device_put(np.stack([rows[i][0] for i in sl]), gs2)
-                segs = jax.device_put(np.stack([rows[i][1] for i in sl]), gs2)
-                poss = jax.device_put(np.stack([rows[i][2] for i in sl]), gs2)
-                labs = jax.device_put(np.stack([rows[i][3] for i in sl]), gs2)
-                out = self._vtg_prior_packed_step(
-                    self.params, self.lora, prior_kv, prior_mask,
-                    ids, segs, poss, labs, n_segments=n_seg,
-                )
+
+            def run_step(sl, arrs, size=size):
+                ids, segs, poss, labs = (jax.device_put(a, gs2) for a in arrs)
                 self.flops += flops_lib.packed_suffix_forward_flops(
-                    self.config.llm, G, size, P_prior
+                    self.config.llm, len(sl), size, P_prior
                 )
-                n_real = min(G, m - s)
-                pending.append(([packs[i][1] for i in sl[:n_real]], out))
+                return self._vtg_prior_packed_step(
+                    self.params, self.lora, prior_kv, prior_mask,
+                    ids, segs, poss, labs, n_segments=size // 4,
+                )
+
+            G = max(1, min(2200 // (P_prior + size), 8)) * self.n_data
+            for sl_real, out in self._run_pack_batches(packs, size, banks, G, run_step):
+                pending.append(([packs[i][1] for i in sl_real], out))
         for mapping, out in pending:
             out = np.asarray(out, np.float32)
             for gi, caps in enumerate(mapping):
