@@ -72,7 +72,7 @@ def run_flow(engine, inputs, tok, dataset, topk, cpn, finetuned, naive, trials):
 
     from blim_tpu.engine.evaluation import evaluation
 
-    elapsed, flops = float("inf"), 0.0
+    elapsed, flops, useful = float("inf"), 0.0, 0.0
     t2v = v2t = None
     for t in range(max(trials, 1)):
         if t:
@@ -101,8 +101,134 @@ def run_flow(engine, inputs, tok, dataset, topk, cpn, finetuned, naive, trials):
                 gc.collect()
                 time.sleep(10)
         if dt < elapsed:
-            elapsed, flops = dt, engine.flops
-    return elapsed, flops, t2v, v2t
+            elapsed, flops, useful = dt, engine.flops, engine.useful_flops
+    return elapsed, flops, useful, t2v, v2t
+
+
+
+def vit_forward_flops(vcfg, n_clips: int) -> float:
+    """Analytic UMT-ViT forward FLOPs per `n_clips` clips (matmuls + attn)."""
+    h = vcfg.hidden_size
+    s = vcfg.num_frames * (vcfg.image_size // vcfg.patch_size) ** 2
+    layers = vcfg.num_hidden_layers + vcfg.return_idx + 1
+    per_token = layers * (8.0 * h * h + 2.0 * vcfg.mlp_ratio * h * h * 2)
+    attn = layers * 4.0 * s * h  # score+PV per token
+    return n_clips * s * (per_token + attn)
+
+
+def bench_featurizer(args, cfg, dtype, n_chips, peak):
+    """Featurizer throughput line (tower + ToMe, no host decode): guards the
+    attention-dispatch regression class (a d%128 gate once silently cost 3.6x
+    on this exact path — commit 4025935)."""
+    import jax
+    import jax.numpy as jnp
+
+    from blim_tpu.models import umt_vit
+    from blim_tpu.pipelines.extract import make_featurizer
+
+    vit = jax.jit(lambda k: umt_vit.init_params(cfg.vision, k, dtype))(jax.random.key(3))
+    jax.block_until_ready(vit)
+    feat = make_featurizer(vit, cfg)
+    B = 2
+    rng = np.random.default_rng(1)
+    pix = [
+        jnp.asarray(rng.standard_normal(
+            (B, cfg.num_clips, cfg.mm_local_num_frames, 3,
+             cfg.vision.image_size, cfg.vision.image_size)) * 0.1, dtype)
+        for _ in range(3)
+    ]
+    np.asarray(feat(pix[0]))  # compile
+    best = float("inf")
+    iters = 2 if args.tiny else 6
+    for i in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(feat(pix[i % len(pix)]))
+        best = min(best, time.perf_counter() - t0)
+    vps = B / best / n_chips
+    line = {
+        "metric": "featurizer_videos_per_sec_per_chip",
+        "value": round(vps, 3),
+        "unit": f"videos/s/chip (UMT-ViT tower + ToMe, batch {B}, "
+                f"{cfg.num_clips} clips x {cfg.mm_local_num_frames} frames, no host decode)",
+        # baseline: the XLA-attention featurizer measured 2.99 videos/s/chip
+        # on v5e (CLAUDE.md scoreboard) — this line catches kernel-dispatch
+        # regressions on the d=64 dense flash path
+        "vs_baseline": round(vps / 2.99, 3),
+    }
+    if peak:
+        fl = vit_forward_flops(cfg.vision, B * cfg.num_clips)
+        line["mfu"] = round(fl / best / (n_chips * peak), 4)
+    print(json.dumps(line))
+    print(f"# featurizer: {best*1e3:.1f} ms/batch", file=sys.stderr)
+    del vit, feat
+    import gc
+
+    gc.collect()
+
+
+def bench_train_step(args, cfg, params, tok, n_chips, peak):
+    """7B LoRA train-step line (VTG+TVG losses, fused fwd+bwd)."""
+    import jax
+    import jax.numpy as jnp
+
+    from blim_tpu.core.mesh import make_mesh
+    from blim_tpu.data.collate import collate_train_batch
+    from blim_tpu.data.prompts import make_tvg_layout, make_vtg_layout
+    from blim_tpu.engine import train as train_lib
+    from blim_tpu.utils.flops import full_forward_flops, tvg_head_flops
+
+    tok_budget = args.caption_tokens
+    vtg_l = make_vtg_layout(tok, "MSRVTT", cfg.video_tokens_vtg, tok_budget)
+    tvg_l = make_tvg_layout(tok, cfg.num_clips, tok_budget)
+    B = 4
+    rng = np.random.default_rng(2)
+    batches = []
+    for _ in range(3):
+        caps = make_captions(B, rng, tok_budget)
+        feats = rng.standard_normal(
+            (B, cfg.num_clips, cfg.tokens_per_clip, cfg.mm_hidden_size)
+        ).astype(np.float32)
+        b = collate_train_batch(caps, feats, np.arange(B) % 4, tok, "MSRVTT", vtg_l, tvg_l)
+        batches.append({k: jnp.asarray(v) for k, v in b.items()})
+    vocab = jnp.asarray(
+        rng.standard_normal((64, cfg.num_clips, cfg.mm_hidden_size)), jnp.float32
+    )
+    tcfg = train_lib.TrainConfig(lr=1e-4, warmup_epochs=0.0, epochs=1)
+    mesh = make_mesh()
+    tx = train_lib.make_optimizer(tcfg, steps_per_epoch=100)
+    trainable = train_lib.init_trainable(
+        jax.random.key(1), cfg, tcfg,
+        visual_head=jnp.zeros((cfg.llm.hidden_size, cfg.mm_hidden_size)) + 0.02,
+    )
+    state = train_lib.TrainState(jnp.asarray(0), trainable, tx.init(trainable))
+    step = train_lib.make_train_step(cfg, tcfg, tx, vtg_l, tvg_l, mesh=mesh)
+    for i in range(2):
+        state, m = step(state, params, batches[i % 3], vocab, jax.random.key(i))
+        np.asarray(m["loss"])
+    best = float("inf")
+    iters = 2 if args.tiny else 5
+    for i in range(iters):
+        t0 = time.perf_counter()
+        state, m = step(state, params, batches[i % 3], vocab, jax.random.key(10 + i))
+        np.asarray(m["loss"])
+        best = min(best, time.perf_counter() - t0)
+    T_vtg = vtg_l.caption_start + vtg_l.max_caption_tokens + len(vtg_l.terminator_ids)
+    wl = vtg_l.label_window[1]
+    fwd = (full_forward_flops(cfg.llm, B, T_vtg, lm_positions=wl)
+           + full_forward_flops(cfg.llm, B, tvg_l.seq_len)
+           + tvg_head_flops(cfg, B * cfg.num_clips, 64))
+    line = {
+        "metric": "train_step_ms",
+        "value": round(best * 1e3, 1),
+        "unit": f"ms/step (7B LoRA train step, batch {B}, caption budget "
+                f"{tok_budget}, VTG+TVG losses; lower is better)",
+        # baseline: round-1 measured 817 ms at this batch (budget 32)
+        "vs_baseline": round(817.0 / (best * 1e3), 3),
+    }
+    if peak:
+        line["mfu"] = round(4.0 * fwd / best / (n_chips * peak), 4)
+    print(json.dumps(line))
+    print(f"# train: {best*1e3:.1f} ms/step, loss {float(m['loss']):.3f}", file=sys.stderr)
 
 
 def main():
@@ -126,6 +252,8 @@ def main():
     ap.add_argument("--trials", type=int, default=2,
                     help="measured trials; best is reported (host/tunnel "
                          "contention adds large run-to-run variance)")
+    ap.add_argument("--skip-aux-lines", action="store_true",
+                    help="suppress the featurizer and train-step JSON lines")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -159,7 +287,10 @@ def main():
     from blim_tpu.models import videochat_flash as vcf
     from blim_tpu.utils.flops import peak_flops_per_chip
 
-    cfg = tiny_model_config(vocab_size=152064) if args.tiny else ModelConfig()
+    # tiny image 128 (not the 64 default): 256 patch tokens/clip compress to
+    # the 64-token ToMe target; 64px lands exactly ON the target and asserts
+    cfg = (tiny_model_config(vocab_size=152064, image_size=128)
+           if args.tiny else ModelConfig())
     tok = ByteFallbackTokenizer()
     dataset = "MSRVTT"
     layout = make_vtg_layout(tok, dataset, cfg.video_tokens_vtg, max_caption_tokens=args.caption_tokens)
@@ -170,6 +301,14 @@ def main():
     captions = make_captions(n, rng, args.caption_tokens)
 
     dtype = jnp.float32 if args.tiny else jnp.bfloat16
+    n_chips = len(jax.devices())
+    peak = peak_flops_per_chip(jax.devices()[0])
+
+    # featurizer line FIRST: the ViT params (~0.6GB bf16) don't fit next to
+    # a resident 7B on one v5e
+    if not args.skip_aux_lines:
+        bench_featurizer(args, cfg, dtype, n_chips, peak)
+
     params = jax.jit(lambda k: vcf.init_params(cfg, k, dtype))(jax.random.key(args.seed))
     jax.block_until_ready(params)
 
@@ -256,7 +395,7 @@ def main():
             engine, warm, tok, dataset, topk=args.topk,
             cpn=not args.no_cpn, has_tvg=finetuned, verbose=False,
             shared_prefix=not args.naive))
-        elapsed, flops, t2v, v2t = run_flow(
+        elapsed, flops, useful, t2v, v2t = run_flow(
             engine, make_inputs(m), tok, dataset, args.topk,
             not args.no_cpn, finetuned, args.naive, trials,
         )
@@ -266,6 +405,8 @@ def main():
             assert len(cells) and np.isfinite(cells).all(), f"bad scores in {name}"
         qps = m / elapsed / n_chips
         mfu = flops / elapsed / (n_chips * peak) if peak else None
+        useful_mfu = useful / elapsed / (n_chips * peak) if peak else None
+        useful_frac = useful / flops if flops else None
         # the engine's jitted partials reference the engine (a cycle), so its
         # device buffers and compiled programs outlive this frame until a GC
         # pass runs — which OOMs the NEXT measure's warmup next to the 7B
@@ -273,10 +414,11 @@ def main():
         import gc
 
         gc.collect()
-        return qps, mfu, flops, elapsed
+        return qps, mfu, flops, elapsed, useful_mfu, useful_frac
 
     primary_finetuned = args.finetuned
-    qps, mfu, flops, elapsed = measure(primary_finetuned, n, args.trials)
+    qps, mfu, flops, elapsed, useful_mfu, useful_frac = measure(
+        primary_finetuned, n, args.trials)
     mode = "finetuned 6-matrix" if primary_finetuned else "full zero-shot"
     result = {
         "metric": ("msrvtt_finetuned_rerank_queries_per_sec_per_chip"
@@ -291,6 +433,11 @@ def main():
     if mfu is not None:
         result["mfu"] = round(mfu, 4)
         result["model_tflops"] = round(flops / 1e12, 1)
+        # useful-token MFU: the request's zero-waste oracle over elapsed time.
+        # mfu (dispatched) says how busy the MXU was; useful_mfu says how much
+        # of that was the workload — padding regressions show up ONLY here.
+        result["useful_mfu"] = round(useful_mfu, 4)
+        result["useful_fraction"] = round(useful_frac, 4)
     print(json.dumps(result))
     print(f"# primary: {n} queries in {elapsed:.1f}s on {n_chips} chip(s), "
           f"cpn={not args.no_cpn}, shared_prefix={not args.naive}, "
@@ -299,7 +446,7 @@ def main():
 
     if not primary_finetuned and not args.skip_finetuned_line and not args.tiny:
         m2 = min(args.finetuned_queries, n)
-        qps2, mfu2, flops2, elapsed2 = measure(True, m2, 1)
+        qps2, mfu2, flops2, elapsed2, useful_mfu2, useful_frac2 = measure(True, m2, 1)
         line2 = {
             "metric": "msrvtt_finetuned_rerank_queries_per_sec_per_chip",
             "value": round(qps2, 4),
@@ -310,9 +457,14 @@ def main():
         if mfu2 is not None:
             line2["mfu"] = round(mfu2, 4)
             line2["model_tflops"] = round(flops2 / 1e12, 1)
+            line2["useful_mfu"] = round(useful_mfu2, 4)
+            line2["useful_fraction"] = round(useful_frac2, 4)
         print(json.dumps(line2))
         print(f"# finetuned: {m2} queries in {elapsed2:.1f}s"
               + (f", mfu={mfu2:.3f}" if mfu2 else ""), file=sys.stderr)
+
+    if not args.skip_aux_lines:
+        bench_train_step(args, cfg, params, tok, n_chips, peak)
 
 
 if __name__ == "__main__":

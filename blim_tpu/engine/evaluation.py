@@ -106,9 +106,14 @@ def evaluation(
 
         if has_tvg:
             # TVG dedup: v2t_query[i,j] == t2v_candidate[j,i] == P(video i | caption j)
-            tscores, tpriors = engine.score_pairs_tvg_shared(
-                tvg_banks, video_vocab, u_cap, u_vid, 2 * topk, with_prior=cpn
-            )
+            if packed:
+                tscores, tpriors = engine.score_pairs_tvg_packed(
+                    tvg_banks, video_vocab, u_cap, u_vid, with_prior=cpn
+                )
+            else:
+                tscores, tpriors = engine.score_pairs_tvg_shared(
+                    tvg_banks, video_vocab, u_cap, u_vid, 2 * topk, with_prior=cpn
+                )
             vq = np.full((n, n), fill, np.float32)
             vq[v_rows, v_cols] = tscores[inv[:n1]]
             tc = np.full((n, n), fill, np.float32)

@@ -247,6 +247,58 @@ def build_packs(
     return [(size, out[size]) for size in sorted(out, reverse=True)]
 
 
+def build_tvg_packs(
+    cap_idx: np.ndarray,       # (n_pairs,) caption per pair (the segment key)
+    vid_idx: np.ndarray,       # (n_pairs,) vocab-video per pair
+    seg_lens: np.ndarray,      # (n_captions,) prefix tokens per caption segment
+    classes: Tuple[Tuple[int, int], ...],   # ((size, max_queries), ...) ascending
+):
+    """Pack caption PREFIXES back-to-back into fixed-size rows, with a flat
+    per-pack query list (one query per (caption, candidate-video) pair).
+
+    The TVG counterpart of build_packs: here the variable-length part is the
+    PREFIX (the left-padded prompt, ~55% pad even after width bucketing) and
+    the suffixes are tiny and uniform (W = num_clips), so a pack bounds BOTH
+    the token load (sum of segment lengths <= size) and the flat query count
+    (<= max_queries). Greedy first-fit in caption order; a caption with more
+    candidates than max_queries splits into several segments.
+
+    Returns [(size, max_queries, [pack, ...])] grouped by class, largest size
+    first, where pack = [(cap, vids (k,), pair_positions (k,)), ...].
+    """
+    t_max, q_max = classes[-1]
+    order = np.argsort(cap_idx, kind="stable")
+    cap_s, vid_s = cap_idx[order], vid_idx[order]
+    packs = []
+    segs, load, nq = [], 0, 0
+    n = len(cap_s)
+    start = 0
+    while start < n:
+        end = start
+        while end < n and cap_s[end] == cap_s[start]:
+            end += 1
+        c = int(cap_s[start])
+        L = int(seg_lens[c])
+        assert L <= t_max, (L, t_max)
+        for qs in range(start, end, q_max):
+            qe = min(qs + q_max, end)
+            if load + L > t_max or nq + (qe - qs) > q_max:
+                packs.append((segs, load, nq))
+                segs, load, nq = [], 0, 0
+            segs.append((c, vid_s[qs:qe].astype(np.int32), order[qs:qe]))
+            load += L
+            nq += qe - qs
+        start = end
+    if segs:
+        packs.append((segs, load, nq))
+    out: Dict[Tuple[int, int], list] = {}
+    for segs, load, nq in packs:
+        size, qcap = next((s, qq) for s, qq in classes if s >= load and qq >= nq)
+        out.setdefault((size, qcap), []).append(segs)
+    return [(size, qcap, out[(size, qcap)])
+            for size, qcap in sorted(out, reverse=True)]
+
+
 @functools.partial(jax.jit, static_argnames=("lora_scale", "out_dtype"))
 def _project_tvg_chunk(proj_params, proj_lora, feats, lora_scale, out_dtype):
     """Module-level jit (params as ARGS, not closure constants): one compile
@@ -316,9 +368,17 @@ class RerankEngine:
         self.lora = lora
         self.lora_scale = lora_scale
         self.use_pallas = use_pallas
-        # analytic forward-FLOP counter (see blim_tpu/utils/flops.py for the
-        # model); incremented at every dispatch site, read by bench.py for MFU
+        # analytic forward-FLOP counters (see blim_tpu/utils/flops.py for the
+        # model), read by bench.py for MFU:
+        #   flops        — DISPATCHED work (padding inside a step counts);
+        #   useful_flops — the request's zero-waste oracle (one prefix per
+        #     unique video/caption, exact real-length suffixes, per-segment
+        #     attention). useful/dispatched is the schedule's packing
+        #     efficiency; useful/elapsed/peak is the honest end-to-end MFU —
+        #     a schedule regression that adds padding shows up here even
+        #     though dispatched-MFU stays flat.
         self.flops = 0.0
+        self.useful_flops = 0.0
         # device budget for the resident video-feature bank. A 7B bf16 leaves
         # ~500MB of a v5e's 15.75GB HBM; a 1000-video MSRVTT bank is 524MB, so
         # on a single TPU chip large banks stay on host and stream per step
@@ -428,6 +488,21 @@ class RerankEngine:
             self.tvg_prefix_buckets = tuple(
                 sorted({w for w in (96, 128, 192) if w < P_full} | {P_full})
             )
+            self._tvg_packed_step = jax.jit(
+                functools.partial(
+                    self._tvg_packed_step_impl,
+                    position_offset=tvg_layout.prefix_len,
+                ),
+                static_argnames=("cpn",),
+            )
+            # packed-prefix classes (size, max_queries): one compiled variant
+            # per class. The (128, 160) class is query-bound — it carries the
+            # CPN prior pass, whose per-caption prefix is just the ~17-token
+            # instruction head; the larger classes are token-bound and carry
+            # the score pass's real prefixes. The top size must fit one
+            # full-budget caption prefix.
+            top_t = max(512, -(-P_full // 128) * 128)
+            self.tvg_pack_classes = ((128, 160), (256, 96), (top_t, 160))
 
     # -- device-resident banks ------------------------------------------------
 
@@ -440,7 +515,13 @@ class RerankEngine:
         Banks too large for the device budget (a 7B bf16 leaves ~500MB on one
         v5e) stay on host as fp16 under the "feats_host" key; the shared-prefix
         VTG path then streams each step's gathered videos to the device (the
-        async dispatch loop overlaps the transfers with compute)."""
+        async dispatch loop overlaps the transfers with compute).
+
+        INVARIANT: the returned bank snapshots `self.lora` — TVG banks bake
+        the projector LoRA into the precomputed `tvg_embeds`. Mutating
+        engine.lora after upload() (e.g. reusing a bank across train steps)
+        silently scores with stale projections; re-upload instead. Scoring
+        asserts the identity below."""
         feat_dtype = self.params["llm"]["embed_tokens"]["embedding"].dtype
         if not jnp.issubdtype(feat_dtype, jnp.floating):
             feat_dtype = jnp.float32
@@ -481,12 +562,18 @@ class RerankEngine:
             # the left-padded TVG prefix is ~70% pad at typical caption
             # lengths, and pad keys are dispatched work even though masked
             dev["prefix_len_host"] = bank.prefix_mask.sum(axis=1).astype(np.int32)
+            # host copies for packed-prefix assembly (trimmed real tokens are
+            # concatenated into fixed-size pack rows on host per step)
+            dev["prefix_ids_host"] = np.asarray(bank.prefix_ids)
+            dev["first_ids_host"] = np.asarray(bank.first_ids)
             # TVG video embeddings are pair-independent: run tvg_mlp + clip
             # mean ONCE per video here. The shared-prefix TVG step then
             # gathers (V, clips, D) rows instead of projecting per pair —
             # without this the projector's (G, K, clips, 64, hidden)
             # intermediate dominates step HBM and caps the group batch.
             dev["tvg_embeds"] = self._project_tvg_bank(features)
+            # snapshot the LoRA identity baked into tvg_embeds (see docstring)
+            dev["lora_ref_host"] = self.lora
         return dev
 
     def _project_tvg_bank(self, features, chunk: int = 32) -> jax.Array:
@@ -701,6 +788,151 @@ class RerankEngine:
         prior = run(jnp.take(banks["prefix_cpn"], cap_idx, axis=0), True)
         return score, prior
 
+    def _tvg_packed_step_impl(
+        self, params, lora, banks, video_vocab,
+        pack_ids, pack_seg, pack_pos, q_seg, q_cap, q_vid,
+        *, cpn: bool, position_offset: int,
+    ):
+        """Packed-prefix TVG scoring: caption prefixes lie back-to-back in one
+        (G, T) row (block-diagonal causal attention), and a flat (G, Q) query
+        list scores each (caption, candidate-video) pair against its own
+        segment's KV. One pass per call — the CPN prior runs as a separate
+        pass over head-only packs (see score_pairs_tvg_packed)."""
+        kv = vcf.tvg_pack_prefix_kv(
+            params, self.config, pack_ids, pack_seg, pack_pos,
+            lora=lora, lora_scale=self.lora_scale,
+        )
+        g, qn = q_seg.shape
+        q_first = jnp.take(banks["first_ids"], q_cap.reshape(-1), axis=0).reshape(g, qn)
+        q_video = jnp.take(banks["tvg_embeds"], q_vid.reshape(-1), axis=0)
+        q_video = q_video.reshape(g, qn, *q_video.shape[1:])
+        return vcf.score_tvg_packed(
+            params, self.config, kv, pack_seg, q_seg, q_first, q_video, q_vid,
+            video_vocab, position_offset, cpn=cpn,
+            lora=lora, lora_scale=self.lora_scale,
+        )
+
+    def _assemble_tvg_pack(self, banks, segs, size: int, qn: int,
+                           head_len: Optional[int] = None):
+        """Concatenate caption prefixes into one (size,) packed row plus its
+        flat query list. `head_len` slices each prefix to its first real
+        tokens — the CPN prior pass, where only the instruction head is
+        visible as keys (masked tokens' K/V are exactly excluded from
+        attention, so not computing them is a pure reduction).
+
+        Returns (ids, seg, pos, q_seg, q_cap, q_vid, pair_positions)."""
+        P_full = self.tvg_layout.prefix_len
+        ids_h = banks["prefix_ids_host"]
+        lens = banks["prefix_len_host"]
+        ids = np.zeros(size, np.int32)
+        seg = np.full(size, -1, np.int32)
+        pos = np.zeros(size, np.int32)
+        q_seg = np.full(qn, -1, np.int32)
+        q_cap = np.zeros(qn, np.int32)
+        q_vid = np.zeros(qn, np.int32)
+        pair_pos = []
+        o = qo = 0
+        for si, (c, vids, pps) in enumerate(segs):
+            L = int(lens[c])
+            S = L if head_len is None else min(head_len, L)
+            start = P_full - L
+            ids[o : o + S] = ids_h[c][start : start + S]
+            seg[o : o + S] = si
+            pos[o : o + S] = start + np.arange(S)
+            o += S
+            k = len(vids)
+            q_seg[qo : qo + k] = si
+            q_cap[qo : qo + k] = c
+            q_vid[qo : qo + k] = vids
+            qo += k
+            pair_pos.append(pps)
+        return ids, seg, pos, q_seg, q_cap, q_vid, np.concatenate(pair_pos)
+
+    def score_pairs_tvg_packed(
+        self,
+        banks: Dict[str, jax.Array],
+        video_vocab: jax.Array,
+        cap_idx: np.ndarray,       # (n_pairs,) caption per pair
+        vid_idx: np.ndarray,       # (n_pairs,) vocab-video per pair
+        with_prior: bool,
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Packed-prefix TVG scores for a flat pair list -> (scores (n,),
+        priors (n,) | None) in input order.
+
+        Replaces both bucketing axes of score_pairs_tvg_shared (k-buckets and
+        prefix width buckets) with variable-length prefix packs, and makes two
+        algorithmic cuts the rectangle schedule couldn't:
+          * the CPN prior pass's prefix shrinks from the full prompt to the
+            ~17 visible instruction-head tokens (same tokens for every
+            caption, at per-caption absolute positions) — masked prefix keys
+            never enter attention, so their K/V need not exist;
+          * the suffix narrows from 1+clips+terminators to clips tokens —
+            causality makes the dropped positions unreadable by the TVG head.
+        Equivalence vs the naive path is enforced by tests/test_shared_prefix_tvg.py.
+        """
+        self.useful_flops += self._useful_tvg(
+            banks, cap_idx, vid_idx, int(video_vocab.shape[0]), with_prior)
+        gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        scores = np.zeros(len(cap_idx), np.float32)
+        priors = np.zeros(len(cap_idx), np.float32) if with_prior else None
+        llm = self.config.llm
+        W = self.config.num_clips
+        V = int(video_vocab.shape[0])
+        hl = self.tvg_layout.tvg_prefix_length
+        lens = banks["prefix_len_host"]
+        assert "tvg_embeds" in banks, "upload() computes tvg_embeds for TVG banks"
+        assert banks.get("lora_ref_host") is self.lora, (
+            "engine.lora changed since upload(): tvg_embeds is stale — re-upload")
+        dev_banks = self._dev_banks(banks)
+        pending = []
+
+        def run_pass(out_vec, seg_lens_eff, head_len, cpn):
+            for size, qn, packs in build_tvg_packs(
+                cap_idx, vid_idx, seg_lens_eff, self.tvg_pack_classes
+            ):
+                lo, hi = self._process_shard(len(packs))
+                packs = packs[lo:hi]
+                if not packs:
+                    continue
+                rows = [
+                    self._assemble_tvg_pack(banks, segs, size, qn, head_len)
+                    for segs in packs
+                ]
+                # feed/HBM balance: pack KV (~59MB at T=512) plus the flat
+                # queries' fp32 score transients bound packs per step
+                G = max(1, min(2200 // (size + qn * W), 8))
+                G *= self.n_data
+                m = len(packs)
+                m_pad = -(-m // G) * G
+                sel = np.concatenate([np.arange(m), np.zeros(m_pad - m, np.int64)])
+                for s in range(0, m_pad, G):
+                    sl = sel[s : s + G]
+                    arrs = [np.stack([rows[i][j] for i in sl]) for j in range(6)]
+                    dev = [jax.device_put(a, gs2) for a in arrs]
+                    out = self._tvg_packed_step(
+                        self.params, self.lora, dev_banks, video_vocab, *dev,
+                        cpn=cpn,
+                    )
+                    self.flops += flops_lib.packed_prefix_kv_flops(llm, G, size)
+                    self.flops += flops_lib.flat_query_suffix_flops(llm, G * qn, W, size)
+                    self.flops += flops_lib.tvg_head_flops(self.config, G * qn * W, V)
+                    n_real = min(G, m - s)
+                    pending.append(
+                        (out_vec, [rows[i][6] for i in sl[:n_real]], out)
+                    )
+
+        run_pass(scores, lens, None, False)
+        if with_prior:
+            run_pass(priors, np.full(len(lens), hl, np.int32), hl, True)
+        for vec, pos_lists, out in pending:
+            out = np.asarray(out, np.float32)
+            for gi, pps in enumerate(pos_lists):
+                vec[pps] = out[gi, : len(pps)]
+        scores = self._allreduce_scores(scores)
+        if with_prior:
+            priors = self._allreduce_scores(priors)
+        return scores, priors
+
     def score_pairs_tvg_shared(
         self,
         banks: Dict[str, jax.Array],
@@ -714,6 +946,8 @@ class RerankEngine:
         """Shared-prefix TVG scores for a flat pair list (grouped by caption).
         Returns (scores (n,), priors (n,) | None) in input order.
         Remainder k-buckets apply exactly as in the VTG direction."""
+        self.useful_flops += self._useful_tvg(
+            banks, cap_idx, vid_idx, int(video_vocab.shape[0]), with_prior)
         gs1 = NamedSharding(self.mesh, P(DATA_AXIS))
         gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
         scores = np.zeros(len(cap_idx), np.float32)
@@ -727,6 +961,8 @@ class RerankEngine:
         # needs only the precomputed (V, clips, D) embed bank — ~28KB/video,
         # resident even when the raw feature bank streams from host
         assert "tvg_embeds" in banks, "upload() computes tvg_embeds for TVG banks"
+        assert banks.get("lora_ref_host") is self.lora, (
+            "engine.lora changed since upload(): tvg_embeds is stale — re-upload")
         dev_banks = self._dev_banks(banks)
         G = groups_per_step or self.groups_per_step
         for k, g_cap, g_vid, g_pos in group_pairs_bucketed(cap_idx, vid_idx, topk):
@@ -845,6 +1081,45 @@ class RerankEngine:
 
     def reset_flops(self) -> None:
         self.flops = 0.0
+        self.useful_flops = 0.0
+
+    # -- useful-work oracles (request-derived, schedule-independent) ----------
+
+    def _useful_vtg(self, banks, cap_idx: np.ndarray, vid_idx: np.ndarray) -> float:
+        llm = self.config.llm
+        P_len = self.vtg_layout.prefix_len
+        lens = banks["suffix_len_host"][cap_idx]
+        n_vid = len(np.unique(vid_idx))
+        return flops_lib.prefix_forward_flops(llm, n_vid, P_len) + \
+            flops_lib.suffix_forward_flops_varlen(llm, lens, P_len)
+
+    def _useful_vtg_prior(self, banks) -> float:
+        llm = self.config.llm
+        ids, _ = self.vtg_layout.prior_prefix()
+        lens = banks["suffix_len_host"]
+        return flops_lib.prefix_forward_flops(llm, 1, len(ids)) + \
+            flops_lib.suffix_forward_flops_varlen(llm, lens, len(ids))
+
+    def _useful_tvg(self, banks, cap_idx, vid_idx, vocab_videos: int,
+                    with_prior: bool) -> float:
+        llm = self.config.llm
+        W = self.config.num_clips
+        lens = banks["prefix_len_host"]
+        u_caps = np.unique(cap_idx)
+        n = len(cap_idx)
+        w_arr = np.full(n, W, np.float64)
+        u = flops_lib.prefix_forward_flops_varlen(llm, lens[u_caps])
+        u += flops_lib.suffix_forward_flops_varlen(
+            llm, w_arr, lens[cap_idx], lm_positions_per_suffix=0.0)
+        u += flops_lib.tvg_head_flops(self.config, n * W, vocab_videos)
+        if with_prior:
+            hl = self.tvg_layout.tvg_prefix_length
+            u += flops_lib.prefix_forward_flops_varlen(
+                llm, np.minimum(lens[u_caps], hl))
+            u += flops_lib.suffix_forward_flops_varlen(
+                llm, w_arr, float(hl), lm_positions_per_suffix=0.0)
+            u += flops_lib.tvg_head_flops(self.config, n * W, vocab_videos)
+        return u
 
     @staticmethod
     def _dev_banks(banks: Dict[str, Any]) -> Dict[str, Any]:
@@ -906,6 +1181,7 @@ class RerankEngine:
         Steps batch G groups so that G*k*width stays roughly constant (MXU
         feed) and the prefix-KV + fp32 score temps stay inside the ~400MB HBM
         headroom next to the 7B."""
+        self.useful_flops += self._useful_vtg(banks, cap_idx, vid_idx)
         G = groups_per_step or self.groups_per_step
         prefix_ids, prefix_mask = self._vtg_prefix_arrays()
         P_len = int(prefix_ids.shape[0])
@@ -976,6 +1252,7 @@ class RerankEngine:
         """CPN prior P(t) for EVERY caption in the bank — the prior is
         video-independent, one forward per caption over the dataset-constant
         text prefix. Returns (n_captions,)."""
+        self.useful_flops += self._useful_vtg_prior(banks)
         prior_kv, prior_mask = self.compute_prior_kv(self.vtg_layout)
         P_prior = int(prior_mask.shape[1])
         self.flops += flops_lib.prefix_forward_flops(self.config.llm, 1, P_prior)
@@ -1046,6 +1323,7 @@ class RerankEngine:
         of the rectangle schedule: ~40% fewer dispatched tokens at the
         production caption-length distribution, and 3 compiled variants
         instead of 11."""
+        self.useful_flops += self._useful_vtg(banks, cap_idx, vid_idx)
         prefix_ids, prefix_mask = self._vtg_prefix_arrays()
         P_len = int(prefix_ids.shape[0])
         llm = self.config.llm
@@ -1114,6 +1392,7 @@ class RerankEngine:
         """CPN prior P(t) for EVERY caption via the packed schedule: all
         captions share the one text-only prefix, so packs fill with zero
         grouping constraints. Returns (n_captions,)."""
+        self.useful_flops += self._useful_vtg_prior(banks)
         prior_kv, prior_mask = self.compute_prior_kv(self.vtg_layout)
         P_prior = int(prior_mask.shape[1])
         self.flops += flops_lib.prefix_forward_flops(self.config.llm, 1, P_prior)
@@ -1209,6 +1488,9 @@ class RerankEngine:
         """Score pairs and scatter into a (fill)-initialized matrix — the
         reference fills -100 and relies on it surviving all_reduce
         (retrieval_utils.py:219,254); here the scatter is explicit."""
+        self.useful_flops += self._useful_vtg(banks, cap_idx, vid_idx)
+        if with_prior:
+            self.useful_flops += self._useful_vtg_prior(banks)
         T = int(banks["ids"].shape[1])
         wl = self.vtg_layout.label_window[1]
         step_flops = (2 if with_prior else 1) * flops_lib.full_forward_flops(
@@ -1240,6 +1522,8 @@ class RerankEngine:
         with_prior: bool,
         fill: float = -100.0,
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        self.useful_flops += self._useful_tvg(
+            banks, cap_idx, vid_idx, int(video_vocab.shape[0]), with_prior)
         T = int(banks["ids"].shape[1])
         step_flops = (2 if with_prior else 1) * (
             flops_lib.full_forward_flops(self.config.llm, self.batch_size, T)

@@ -229,6 +229,11 @@ def prefix_attention(
         prefix_mask = jnp.ones((g, p_len), jnp.int32)
     prefix_mask = prefix_mask.astype(jnp.int32)
     suffix_mask = suffix_mask.astype(jnp.int32)
+    if prefix_mask.ndim == 3:
+        # per-candidate prefix visibility (packed-TVG segments): XLA only —
+        # the fused-K kernel loads one (P, hd) prefix tile per program and
+        # has no per-suffix key gating.
+        return _xla_reference(q, k_suf, v_suf, k_pre, v_pre, suffix_mask, prefix_mask, scale)
     if use_pallas is None:
         # Default decided by on-device measurement (see CLAUDE.md scoreboard).
         # Per-op (scripts/abench_prefix.py, chained-op timing) the fused-K

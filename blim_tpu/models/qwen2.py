@@ -272,6 +272,89 @@ def forward_collect_kv(
     return hidden, {"k": ks, "v": vs}
 
 
+def _packed_self_attention(
+    q: jax.Array,        # (G, T, Hq, hd)
+    k: jax.Array,        # (G, T, Hkv, hd)
+    v: jax.Array,
+    seg_ids: jax.Array,  # (G, T) int32; -1 = padding
+    scale: float,
+) -> jax.Array:
+    """Block-diagonal causal self-attention over a pack of independent
+    segments: a token attends to the causally-earlier tokens of ITS OWN
+    segment only (flash-attn varlen over concatenated sequences, TPU-style).
+    Padding tokens (seg -1) neither see nor are seen and emit zeros."""
+    g, t, hq, hd = q.shape
+    hkv = k.shape[2]
+    groups = hq // hkv
+    qf = q.astype(jnp.float32).reshape(g, t, hkv, groups, hd) * scale
+    scores = jnp.einsum("gqhud,gkhd->ghuqk", qf, k.astype(jnp.float32))
+    same = seg_ids[:, :, None] == seg_ids[:, None, :]
+    causal = jnp.arange(t)[:, None] >= jnp.arange(t)[None, :]
+    valid_k = (seg_ids >= 0)[:, None, :]
+    vis = same & causal[None] & valid_k                      # (G, T, T)
+    scores = jnp.where(vis[:, None, None], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("ghuqk,gkhd->gqhud", probs, v)
+    out = out * (seg_ids >= 0)[:, :, None, None, None].astype(out.dtype)
+    return out.reshape(g, t, hq, hd)
+
+
+def forward_collect_kv_packed(
+    params: Params,
+    config: Qwen2Config,
+    inputs_embeds: jax.Array,   # (G, T, D) — segments packed back-to-back
+    seg_ids: jax.Array,         # (G, T) int32; -1 = padding
+    position_ids: jax.Array,    # (G, T) absolute positions (restart per segment)
+    *,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """forward_collect_kv over a PACK of independent variable-length prefixes
+    (block-diagonal causal attention by segment id) — the packed-prefix KV
+    producer for the TVG rerank direction, where the per-caption left-padded
+    prefix is the pad source (reference recomputes every full sequence,
+    retrieval_utils.py:113-153). Each segment's K/V is bit-identical to
+    running that prefix alone at the same positions.
+
+    Returns (final hidden, {"k": (L,G,T,Hkv,hd), "v": ...}).
+    """
+    from blim_tpu.adapters.lora import apply_dense
+
+    c = config
+    G, T, D = inputs_embeds.shape
+    H, K, hd = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+    cos, sin = rope_cos_sin(position_ids, c.head_dim, c.rope_theta)
+
+    def scan_body(hidden, xs):
+        if lora is None:
+            lp, ll = xs, None
+        else:
+            lp, ll = xs
+
+        def lo(name):
+            return None if ll is None else ll.get(name)
+
+        x = rms_norm(hidden, lp["input_layernorm"]["scale"], c.rms_norm_eps)
+        q = apply_dense(lp["q_proj"], x, lo("q_proj"), lora_scale).reshape(G, T, H, hd)
+        k = apply_dense(lp["k_proj"], x, lo("k_proj"), lora_scale).reshape(G, T, K, hd)
+        v = apply_dense(lp["v_proj"], x, lo("v_proj"), lora_scale).reshape(G, T, K, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = _packed_self_attention(q, k, v, seg_ids, hd ** -0.5)
+        attn = apply_dense(lp["o_proj"], attn.reshape(G, T, H * hd), lo("o_proj"), lora_scale)
+        hidden = hidden + attn
+        x = rms_norm(hidden, lp["post_attention_layernorm"]["scale"], c.rms_norm_eps)
+        gate = jax.nn.silu(x @ lp["gate_proj"]["kernel"])
+        up = x @ lp["up_proj"]["kernel"]
+        hidden = hidden + (gate * up) @ lp["down_proj"]["kernel"]
+        return hidden, (k, v)
+
+    xs = params["layers"] if lora is None else (params["layers"], lora["layers"])
+    hidden, (ks, vs) = jax.lax.scan(scan_body, inputs_embeds, xs)
+    hidden = rms_norm(hidden, params["norm"]["scale"], config.rms_norm_eps)
+    return hidden, {"k": ks, "v": vs}
+
+
 def _grouped_prefix_attention(
     q: jax.Array,        # (G, K, W, Hq, hd) — K suffixes per prefix group
     k_suf: jax.Array,    # (G, K, W, Hkv, hd)
@@ -280,14 +363,16 @@ def _grouped_prefix_attention(
     v_pre: jax.Array,
     suffix_mask: jax.Array,   # (G, K, W) 1 = real suffix token
     scale: float,
-    prefix_mask: Optional[jax.Array] = None,   # (G, P); None = all visible
+    prefix_mask: Optional[jax.Array] = None,   # (G, P) or (G, K, P); None = all visible
 ) -> jax.Array:
     """Attention of suffix queries over [shared prefix | own suffix].
 
     The prefix KV is shared by the K suffixes of each group — the broadcast
     happens inside the einsum, never materialized. Prefix keys are gated by
-    `prefix_mask` (left padding / CPN priors); suffix keys are causal +
-    masked. Softmax in fp32.
+    `prefix_mask` (left padding / CPN priors); a 3-D (G, K, P) mask gives each
+    candidate its own prefix visibility (the packed-TVG path, where the K
+    queries of a group belong to different segments of one packed prefix row).
+    Suffix keys are causal + masked. Softmax in fp32.
     """
     g, kk, w, hq, hd = q.shape
     hkv = k_suf.shape[3]
@@ -298,7 +383,10 @@ def _grouped_prefix_attention(
     s_suf = jnp.einsum("gkwhud,gkxhd->gkhuwx", qf, k_suf.astype(jnp.float32))
 
     if prefix_mask is not None:
-        pm = prefix_mask.astype(bool)[:, None, None, None, None, :]
+        if prefix_mask.ndim == 3:
+            pm = prefix_mask.astype(bool)[:, :, None, None, None, :]
+        else:
+            pm = prefix_mask.astype(bool)[:, None, None, None, None, :]
         s_pre = jnp.where(pm, s_pre, -1e30)
 
     causal = jnp.arange(w)[:, None] >= jnp.arange(w)[None, :]
@@ -336,6 +424,16 @@ def _packed_prefix_attention(
     g, t, hq, hd = q.shape
     hkv = k_suf.shape[2]
     groups = hq // hkv
+    # HBM guard: the fp32 score tensor (G, Hkv, groups, T, P+T) materializes
+    # per layer. Callers bound G so this fits next to the model weights
+    # (rerank.py uses G ~ 2200/(P+T)); a runaway G would OOM a v5e silently
+    # mid-eval, so trip loudly at trace time instead.
+    p_len = k_pre.shape[1]
+    score_bytes = g * hkv * groups * t * (p_len + t) * 4
+    assert score_bytes <= 2 * 2**30, (
+        f"packed-attention score tensor would be {score_bytes/2**30:.1f}GB "
+        f"(G={g}, T={t}, P={p_len}); shrink the pack batch G"
+    )
     qf = q.astype(jnp.float32).reshape(g, t, hkv, groups, hd) * scale
 
     s_pre = jnp.einsum("gthud,gphd->ghutp", qf, k_pre.astype(jnp.float32))

@@ -656,6 +656,87 @@ def score_tvg_shared(
     return scores.reshape(g, k)
 
 
+def tvg_pack_prefix_kv(
+    params: Params,
+    config: ModelConfig,
+    pack_ids: jax.Array,     # (G, T) caption prefixes packed back-to-back
+    pack_seg: jax.Array,     # (G, T) segment id per token; -1 = padding
+    pack_pos: jax.Array,     # (G, T) absolute positions (P_full - L_c + j)
+    *,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+):
+    """Packed-prefix K/V for the TVG direction: many variable-length caption
+    prefixes share one (G, T) row with block-diagonal causal attention —
+    replacing the width-bucketed left-pad trim (whose bucket padding was
+    dispatched work). The TVG prefix is pure text, so no video splice."""
+    llm_lora, _ = _lora_parts(lora)
+    emb = qwen2.embed_tokens(params["llm"], pack_ids)
+    _, kv = qwen2.forward_collect_kv_packed(
+        params["llm"], config.llm, emb, pack_seg, pack_pos,
+        lora=llm_lora, lora_scale=lora_scale,
+    )
+    return kv
+
+
+def score_tvg_packed(
+    params: Params,
+    config: ModelConfig,
+    pack_kv,                      # k/v: (L, G, T, Hkv, hd) packed prefix KV
+    pack_seg: jax.Array,          # (G, T) segment id per pack token
+    q_seg: jax.Array,             # (G, Q) segment id per query; -1 = unused slot
+    q_first: jax.Array,           # (G, Q) last text token of the query's caption
+    q_video: jax.Array,           # (G, Q, clips, D) precomputed TVG embeddings
+    q_label: jax.Array,           # (G, Q) vocab index of each query's video
+    video_vocab: jax.Array,       # (V, clips, mm)
+    position_offset: int,         # global position of suffix token 0 (= P_full)
+    *,
+    cpn: bool = False,
+    lora: Optional[Params] = None,
+    lora_scale: float = 0.0,
+) -> jax.Array:
+    """Packed-TVG likelihood/prior -> (G, Q): a flat query list per pack, each
+    query attending to its own segment of the packed prefix.
+
+    Two deliberate reductions vs `score_tvg_shared` (numerically identical —
+    causality makes the dropped tokens unreadable):
+      * suffix width is `clips` (= 4), not 1+clips+terminators (= 7): hidden
+        positions 0..clips-1 are the only ones the TVG head reads
+        (training_utils.py:72 gathers -(num_clips+1)..-2), and position i
+        only attends to inputs 0..i — the last clip token and the
+        terminators are compute that nothing consumes;
+      * queries are a flat (Q,) axis with a query->segment map instead of a
+        (K,) axis per caption — captions with few candidates stop padding to
+        the group's candidate count.
+    """
+    g, qn = q_seg.shape
+    clips = config.num_clips
+    emb_dtype = params["llm"]["embed_tokens"]["embedding"].dtype
+    llm_lora, _ = _lora_parts(lora)
+
+    first = qwen2.embed_tokens(params["llm"], q_first)[:, :, None, :]   # (G,Q,1,D)
+    vid = q_video.astype(emb_dtype)[:, :, : clips - 1]                  # (G,Q,clips-1,D)
+    suffix = jnp.concatenate([first.astype(emb_dtype), vid], axis=2)    # (G,Q,W=clips,D)
+
+    w = clips
+    valid = (q_seg >= 0).astype(jnp.int32)
+    suffix_mask = jnp.broadcast_to(valid[:, :, None], (g, qn, w))
+    if cpn:
+        suffix_mask = suffix_mask.at[:, :, 0].set(0)  # last text token masked in the prior
+    # per-query prefix visibility: only the query's own segment of the pack
+    prefix_mask = (pack_seg[:, None, :] == q_seg[:, :, None]) & (q_seg >= 0)[:, :, None]
+
+    hidden = qwen2.forward_suffix_with_prefix(
+        params["llm"], config.llm, suffix, pack_kv, suffix_mask, position_offset,
+        prefix_mask=prefix_mask.astype(jnp.int32), lora=llm_lora, lora_scale=lora_scale,
+        use_pallas=False,
+    )
+    clip_hidden = hidden.reshape(g * qn, clips, -1)
+    logits = criteria.tvg_clip_logits(clip_hidden, params["visual_head"]["kernel"], video_vocab)
+    scores = criteria.tvg_likelihood(logits, q_label.reshape(-1))
+    return scores.reshape(g, qn)
+
+
 def make_video_vocab(features: jax.Array) -> jax.Array:
     """(V, clips, tokens_per_clip, mm) cached features -> (V, clips, mm) vocab
     by mean-pooling the token axis (reference: base_dataset.py:33-37)."""

@@ -27,11 +27,102 @@ from typing import List, Optional
 import numpy as np
 
 
-def read_frames(video_path: str, num_frames: int, max_duration: Optional[float] = None):
-    """Decode `num_frames` uniformly-sampled frames -> (T, H, W, 3) uint8.
+def middle_frame_indices(num_frames: int, vlen: int) -> np.ndarray:
+    """The reference's 'middle' sampling (mm_utils.py:86-110): split
+    [0, vlen) into num_frames intervals and take each interval's midpoint;
+    videos shorter than num_frames pad by repeating the last index."""
+    acc = max(1, min(num_frames, vlen))
+    intervals = np.linspace(0, vlen, acc + 1).astype(int)
+    idx = [
+        (intervals[i] + max(intervals[i + 1] - 1, intervals[i])) // 2
+        for i in range(acc)
+    ]
+    if len(idx) < num_frames:
+        idx = idx + [idx[-1]] * (num_frames - len(idx))
+    return np.asarray(idx, int)
 
-    Tries decord, then PyAV, then OpenCV (the reference's reader stack,
-    mm_utils.py:128-363). DiDeMo passes max_duration=30 (extract.py:52-55)."""
+
+def read_frames_gif(video_path: str, num_frames: int) -> np.ndarray:
+    """Animated-gif reader -> (T, H, W, 3) uint8 (reference:
+    mm_utils.py:157-207): imageio frame iteration, 'middle' sampling at an
+    assumed 1 fps, alpha dropped, and — when frames vary in size — all
+    sampled frames cropped to the common min height/width."""
+    import imageio
+
+    gif = imageio.get_reader(video_path)
+    try:
+        vlen = len(gif)
+    except TypeError:
+        vlen = sum(1 for _ in gif)
+    order = middle_frame_indices(num_frames, vlen)
+    wanted = set(order.tolist())
+    frames = {}
+    for i, frame in enumerate(gif):
+        if i in wanted:
+            f = np.asarray(frame)
+            if f.ndim == 2:
+                f = np.stack([f] * 3, axis=-1)
+            elif f.shape[-1] == 4:
+                f = f[..., :3]  # RGBA -> RGB (cv2.COLOR_RGBA2RGB drops alpha)
+            frames[i] = f.astype(np.uint8)
+    out = [frames[i] for i in order]
+    if len({f.shape for f in out}) > 1:
+        mh = min(f.shape[0] for f in out)
+        mw = min(f.shape[1] for f in out)
+        out = [f[:mh, :mw] for f in out]
+    return np.stack(out)
+
+
+def read_frames_img(video_path: str, num_frames: int) -> np.ndarray:
+    """Frame-directory reader -> (T, H, W, 3) uint8 (reference:
+    mm_utils.py:259-363): files sorted by the numeric tail of their name
+    (``..._NNN.jpg``, falling back to plain name order when no number),
+    'middle' sampling, decoded to RGB."""
+    import re
+
+    names = [
+        n for n in os.listdir(video_path)
+        if n.lower().endswith((".jpg", ".jpeg", ".png"))
+    ]
+    if not names:
+        raise RuntimeError(f"no frame images in {video_path}")
+
+    def frame_number(name: str) -> int:
+        m = re.search(r"_(\d+)\.(?:jpg|jpeg|png)$", name, re.IGNORECASE)
+        return int(m.group(1)) if m else -1
+
+    if any(frame_number(n) >= 0 for n in names):
+        names.sort(key=frame_number)
+    else:
+        names.sort()
+    order = middle_frame_indices(num_frames, len(names))
+    imgs = []
+    try:
+        import cv2
+
+        for i in order:
+            img = cv2.imread(os.path.join(video_path, names[i]), cv2.IMREAD_COLOR)
+            imgs.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+    except ImportError:
+        from PIL import Image
+
+        for i in order:
+            with Image.open(os.path.join(video_path, names[i])) as im:
+                imgs.append(np.asarray(im.convert("RGB")))
+    return np.stack(imgs).astype(np.uint8)
+
+
+def read_frames(video_path: str, num_frames: int, max_duration: Optional[float] = None):
+    """Decode `num_frames` sampled frames -> (T, H, W, 3) uint8.
+
+    Dispatch mirrors the reference's VIDEO_READER_FUNCS (mm_utils.py:357-363):
+    a directory -> the frame-image reader, .gif -> the gif reader, otherwise
+    the video stack (decord, then PyAV, then OpenCV, mm_utils.py:128-363).
+    DiDeMo passes max_duration=30 (extract.py:52-55)."""
+    if os.path.isdir(video_path):
+        return read_frames_img(video_path, num_frames)
+    if video_path.lower().endswith(".gif"):
+        return read_frames_gif(video_path, num_frames)
     try:
         from decord import VideoReader
 
@@ -74,6 +165,47 @@ def read_frames(video_path: str, num_frames: int, max_duration: Optional[float] 
         raise RuntimeError(
             "no video decoder available (need decord, av, or cv2)"
         ) from e
+
+
+class DecodePrefetcher:
+    """Threaded host-decode pipeline — the TPU counterpart of the reference's
+    ``DataLoader(..., num_workers=4)`` (reference: extract.py:100): worker
+    threads decode+preprocess upcoming videos while the TPU featurizes the
+    current batch, so the end-to-end rate approaches the compute-only rate
+    instead of decode+compute in series. Results come back in submission
+    order; `depth` bounds in-flight decodes (16 raw frames at res448 are
+    ~10MB per video)."""
+
+    def __init__(self, paths: List[str], decode_fn, workers: int = 4, depth: int = 8):
+        self.paths = paths
+        self.decode_fn = decode_fn
+        self.workers = max(1, workers)
+        self.depth = max(depth, self.workers)
+
+    def __iter__(self):
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=self.workers)
+        pending = deque()
+        it = iter(self.paths)
+        try:
+            while True:
+                while len(pending) < self.depth:
+                    try:
+                        p = next(it)
+                    except StopIteration:
+                        break
+                    pending.append((p, pool.submit(self.decode_fn, p)))
+                if not pending:
+                    break
+                path, fut = pending.popleft()
+                try:
+                    yield path, fut.result(), None
+                except Exception as e:   # corrupt video -> reported, skipped
+                    yield path, None, e
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def chunk_list(items: List[str], num_chunk: int, chunk_idx: int) -> List[str]:
@@ -154,34 +286,60 @@ def main(args):
     clips = args.num_frames // lf
     batch_paths: List[str] = []
     batch_pixels: List[np.ndarray] = []
+    in_flight: List = []   # (paths, device feats) — consumed with a lag so
+                           # the TPU runs ahead of host-side saves
+
+    def consume(paths, feats_dev):
+        feats = np.asarray(feats_dev, np.float16)
+        for path, feat in zip(paths, feats):
+            vid = os.path.basename(path)
+            vid = vid[: vid.rfind(".")] if "." in vid else vid
+            store.save(vid, feat)
 
     def flush():
         if not batch_paths:
             return
         pixels = np.stack(batch_pixels)  # (B, T, 3, H, W)
-        b, t = pixels.shape[:2]
+        b = pixels.shape[0]
         pixels = pixels.reshape(b, clips, lf, *pixels.shape[2:])
-        feats = np.asarray(featurize(jnp.asarray(pixels, jnp.bfloat16)), np.float16)
-        for path, feat in zip(batch_paths, feats):
-            vid = os.path.basename(path)
-            vid = vid[: vid.rfind(".")] if "." in vid else vid
-            store.save(vid, feat)
+        # async dispatch: featurize returns immediately; the transfer+save of
+        # the PREVIOUS batch happens while this one runs on the TPU
+        in_flight.append((list(batch_paths), featurize(jnp.asarray(pixels, jnp.bfloat16))))
         batch_paths.clear()
         batch_pixels.clear()
+        while len(in_flight) > 2:
+            consume(*in_flight.pop(0))
 
-    for i, path in enumerate(video_list):
-        try:
-            frames = read_frames(path, args.num_frames, max_dur)
-        except Exception as e:  # corrupt video -> skip (reference: extract.py:70-74)
-            print(f"Error loading video {path}: {e}")
+    def decode(path):
+        return processor.preprocess(read_frames(path, args.num_frames, max_dur))
+
+    t0 = __import__("time").perf_counter()
+    n_ok = 0
+    prefetch = DecodePrefetcher(video_list, decode, workers=args.decode_workers)
+    for i, (path, pix, err) in enumerate(prefetch):
+        if err is not None:  # corrupt video -> skip (reference: extract.py:70-74)
+            print(f"Error loading video {path}: {err}")
             continue
-        batch_pixels.append(processor.preprocess(frames))
+        batch_pixels.append(pix)
         batch_paths.append(path)
+        n_ok += 1
         if len(batch_paths) == args.batch_size:
             flush()
         if i % args.save_iter == 0:
             print(f"[{i}/{len(video_list)}]")
     flush()
+    while in_flight:
+        consume(*in_flight.pop(0))
+    elapsed = __import__("time").perf_counter() - t0
+    if args.bench and n_ok:
+        import json
+
+        print(json.dumps({
+            "metric": "extract_videos_per_sec_e2e",
+            "value": round(n_ok / elapsed, 3),
+            "unit": f"videos/s end-to-end (decode + preprocess + featurize, "
+                    f"{args.decode_workers} decode threads, batch {args.batch_size})",
+        }))
 
     if args.pack and args.num_chunk == 1:
         # consolidate into the mmap-able single-file cache (native reader)
@@ -210,6 +368,11 @@ def get_args_parser():
     p.add_argument("--pack", action="store_true",
                    help="after extraction, consolidate per-video .npy files "
                         "into the single-file packed cache (features.pack)")
+    p.add_argument("--decode-workers", type=int, default=4,
+                   help="host decode threads overlapping TPU featurization "
+                        "(the reference's DataLoader num_workers, extract.py:100)")
+    p.add_argument("--bench", action="store_true",
+                   help="print an end-to-end videos/s JSON line at the end")
     return p
 
 

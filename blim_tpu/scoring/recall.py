@@ -63,7 +63,13 @@ def get_recall(
 def compute_metrics(sim_matrix: np.ndarray) -> Dict[str, float]:
     """Auxiliary single-direction diagonal-rank metrics — the full legacy
     surface (R1..R1000, MR/MedianR/MeanR, cols) lives in
-    `scoring.alt_metrics` (reference: util/metrics.py:4-115)."""
+    `scoring.alt_metrics` (reference: util/metrics.py:4-115).
+
+    SEMANTIC NOTE (round 2 change): this now delegates to alt_metrics'
+    tie-expanded rank list (the reference's sort-and-match semantics) and
+    returns its full key set. The earlier pessimistic '>= diagonal' rank
+    variant is gone — on matrices with exact ties R@k/MedianR/MeanR can
+    differ from numbers logged before round 2."""
     from blim_tpu.scoring.alt_metrics import compute_metrics as _full
 
     return _full(sim_matrix)

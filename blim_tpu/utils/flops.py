@@ -93,6 +93,66 @@ def packed_suffix_forward_flops(cfg: Qwen2Config, n_packs: int, pack_len: int,
     )
 
 
+def suffix_forward_flops_varlen(cfg: Qwen2Config, lens, prefix_len,
+                                lm_positions_per_suffix=None) -> float:
+    """Sum of suffix_forward_flops over variable-length suffixes `lens`
+    (numpy array), each against a prefix of `prefix_len` (scalar or array).
+    lm_positions_per_suffix: None -> len-1 per suffix (next-token CE on every
+    real position); scalar/array -> that many per suffix.
+
+    This is the USEFUL-work oracle for the rerank schedulers: exactly the
+    real tokens of each suffix, no width/pack/batch padding, per-segment
+    attention only."""
+    import numpy as np
+
+    lens = np.asarray(lens, np.float64)
+    if lm_positions_per_suffix is None:
+        lm = np.maximum(lens - 1.0, 0.0)
+    else:
+        lm = np.broadcast_to(np.asarray(lm_positions_per_suffix, np.float64), lens.shape)
+    terms = lens * np.asarray(prefix_len, np.float64) + lens * (lens + 1.0) / 2.0
+    return float(
+        lens.sum() * decoder_matmul_flops_per_token(cfg)
+        + attention_flops(cfg, float(terms.sum()))
+        + lm_head_flops(cfg, float(lm.sum()))
+    )
+
+
+def prefix_forward_flops_varlen(cfg: Qwen2Config, lens) -> float:
+    """Sum of exact-length causal prefix forwards (the useful-work oracle for
+    packed prefixes: only the real segment tokens, block-diagonal attention)."""
+    import numpy as np
+
+    lens = np.asarray(lens, np.float64)
+    terms = lens * (lens + 1.0) / 2.0
+    return float(
+        lens.sum() * decoder_matmul_flops_per_token(cfg)
+        + attention_flops(cfg, float(terms.sum()))
+    )
+
+
+def packed_prefix_kv_flops(cfg: Qwen2Config, n_packs: int, pack_len: int) -> float:
+    """Packed-prefix KV forward (block-diagonal causal by segment): the XLA
+    attention computes the full (T, T) score grid per pack — segment masking
+    discards, not skips."""
+    return (
+        n_packs * pack_len * decoder_matmul_flops_per_token(cfg)
+        + attention_flops(cfg, n_packs * float(pack_len) * pack_len)
+    )
+
+
+def flat_query_suffix_flops(cfg: Qwen2Config, n_queries: int, width: int,
+                            pack_len: int) -> float:
+    """Flat-query suffix step over a packed prefix: every query's score row
+    spans the whole pack (its own segment is selected by masking)."""
+    return (
+        n_queries * width * decoder_matmul_flops_per_token(cfg)
+        + attention_flops(
+            cfg, n_queries * (width * float(pack_len) + causal_self_attn_terms(width))
+        )
+    )
+
+
 def tvg_head_flops(config: ModelConfig, clips: float, vocab_videos: int) -> float:
     """visual_head projection + video-vocab bmm per gathered clip token."""
     h, mm = config.llm.hidden_size, config.mm_hidden_size

@@ -74,3 +74,70 @@ def test_tvg_shared_v2t_direction(setup):
     )
     mask = naive > -100.0
     np.testing.assert_allclose(shared[mask], naive[mask], rtol=3e-4, atol=3e-4)
+
+
+def test_tvg_packed_matches_naive(setup):
+    """The packed-prefix schedule (varlen prefixes, head-only prior packs,
+    clips-wide suffixes) must reproduce the naive full-sequence scores."""
+    engine, banks, vocab, rows, cols = setup
+    naive, naive_prior = engine.score_grid_tvg(
+        banks, vocab, rows, cols, cap_idx=rows, vid_idx=cols,
+        out_shape=(N, N), with_prior=True,
+    )
+    scores, priors = engine.score_pairs_tvg_packed(
+        banks, vocab, cap_idx=rows, vid_idx=cols, with_prior=True,
+    )
+    packed = np.full((N, N), -100.0, np.float32)
+    packed[rows, cols] = scores
+    packed_prior = np.full((N, N), -100.0, np.float32)
+    packed_prior[rows, cols] = priors
+    mask = naive > -100.0
+    assert (packed > -100.0).sum() == mask.sum()
+    np.testing.assert_allclose(packed[mask], naive[mask], rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(packed_prior[mask], naive_prior[mask], rtol=3e-4, atol=3e-4)
+
+
+def test_tvg_packed_v2t_direction(setup):
+    engine, banks, vocab, rows, cols = setup
+    naive, _ = engine.score_grid_tvg(
+        banks, vocab, rows, cols, cap_idx=cols, vid_idx=rows,
+        out_shape=(N, N), with_prior=False,
+    )
+    scores, _ = engine.score_pairs_tvg_packed(
+        banks, vocab, cap_idx=cols, vid_idx=rows, with_prior=False,
+    )
+    packed = np.full((N, N), -100.0, np.float32)
+    packed[rows, cols] = scores
+    mask = naive > -100.0
+    np.testing.assert_allclose(packed[mask], naive[mask], rtol=3e-4, atol=3e-4)
+
+
+def test_tvg_pack_builder_budgets():
+    """Every pack respects its class's token and query budgets; every pair
+    lands in exactly one query slot; oversize candidate lists split."""
+    from blim_tpu.engine.rerank import build_tvg_packs
+
+    rng = np.random.default_rng(0)
+    n_caps = 40
+    seg_lens = rng.integers(60, 250, size=n_caps).astype(np.int32)
+    caps, vids = [], []
+    for c in range(n_caps):
+        k = int(rng.integers(1, 50))
+        caps += [c] * k
+        vids += list(rng.integers(0, 100, size=k))
+    caps, vids = np.asarray(caps), np.asarray(vids)
+    classes = ((128, 160), (256, 96), (512, 160))
+    seen = np.zeros(len(caps), np.int32)
+    for size, qn, packs in build_tvg_packs(caps, vids, seg_lens, classes):
+        assert (size, qn) in classes
+        for segs in packs:
+            load = sum(int(seg_lens[c]) for c, _, _ in segs)
+            tot_q = sum(len(v) for _, v, _ in segs)
+            assert load <= size, (load, size)
+            assert tot_q <= qn, (tot_q, qn)
+            for c, v, pps in segs:
+                assert len(v) == len(pps)
+                np.testing.assert_array_equal(caps[pps], c)
+                np.testing.assert_array_equal(vids[pps], v)
+                seen[pps] += 1
+    np.testing.assert_array_equal(seen, 1)
