@@ -34,6 +34,14 @@ class Qwen2Config:
     rms_norm_eps: float = 1e-6
     max_position_embeddings: int = 32768
     tie_word_embeddings: bool = False
+    # Sliding-window attention (reference: modeling_qwen2_flash.py:390-412,
+    # 522-523): when on, layers BELOW max_window_layers restrict each query
+    # to the last `sliding_window` keys once the sequence exceeds the window.
+    # Dormant in every BLiM config (use_sliding_window false, short seqs) —
+    # carried for checkpoint-config parity.
+    use_sliding_window: bool = False
+    sliding_window: Optional[int] = 4096
+    max_window_layers: int = 28
 
     @property
     def num_query_groups(self) -> int:
@@ -166,6 +174,9 @@ def from_hf_config_dict(d: Dict[str, Any]) -> ModelConfig:
         rms_norm_eps=d.get("rms_norm_eps", 1e-6),
         max_position_embeddings=d.get("max_position_embeddings", 32768),
         tie_word_embeddings=d.get("tie_word_embeddings", False),
+        use_sliding_window=bool(d.get("use_sliding_window", False)),
+        sliding_window=d.get("sliding_window", 4096),
+        max_window_layers=d.get("max_window_layers", d.get("num_hidden_layers", 28)),
     )
     image_size = 448 if "umt-hd" in str(d.get("mm_vision_tower", "umt-hd")) else 224
     vision = VisionConfig(

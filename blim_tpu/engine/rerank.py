@@ -459,6 +459,10 @@ class RerankEngine:
         # tripping build_packs' fits-assertion.
         top = -(-vtg_layout.suffix_width // 128) * 128
         self.pack_sizes = tuple(sorted({128, 256, 512} | ({top} if top > 512 else set())))
+        # per-chip-step token budget for pack scheduling: G packs per step
+        # with G ~ budget/(prefix+size). Bounds the pack KV + fp32 CE/score
+        # transients next to the 7B (~400MB headroom on a v5e)
+        self.pack_token_budget = 2200
         # suffix width buckets: one compiled variant per bucket; a group runs
         # at the smallest bucket covering its longest caption
         full_w = vtg_layout.suffix_width
@@ -571,15 +575,23 @@ class RerankEngine:
             # gathers (V, clips, D) rows instead of projecting per pair —
             # without this the projector's (G, K, clips, 64, hidden)
             # intermediate dominates step HBM and caps the group batch.
-            dev["tvg_embeds"] = self._project_tvg_bank(features)
+            dev["tvg_embeds"] = self._project_tvg_bank(
+                features, device_feats=dev.get("feats"))
             # snapshot the LoRA identity baked into tvg_embeds (see docstring)
             dev["lora_ref_host"] = self.lora
         return dev
 
-    def _project_tvg_bank(self, features, chunk: int = 32) -> jax.Array:
+    def _project_tvg_bank(self, features, chunk: int = 32,
+                          device_feats: Optional[jax.Array] = None) -> jax.Array:
         """(V, clips, T, mm) features -> (V, clips, D) TVG embeddings,
         chunked so the MLP intermediate stays ~50MB. Computed at the same
-        dtype the per-pair path used (bank dtype), so scores are unchanged."""
+        dtype the per-pair path used (bank dtype), so scores are unchanged.
+
+        When a device-resident copy of the features exists (`device_feats`,
+        the VTG bank uploaded moments earlier), chunks slice IT — re-shipping
+        the bank from host cost 134MB of host->device transfer per eval at
+        256 videos, and every pending upload byte stalls the flow's first
+        scoring steps (transfers are lazy; whatever runs first waits)."""
         proj_lora = None if self.lora is None else self.lora.get("projector")
         feat_dtype = self.params["llm"]["embed_tokens"]["embedding"].dtype
         if not jnp.issubdtype(feat_dtype, jnp.floating):
@@ -592,18 +604,27 @@ class RerankEngine:
             )
 
         v = features.shape[0]
-        # cast per chunk — a whole-bank fp32 host copy (plus another for the
-        # pad) is 2-3GB of transient RAM exactly for the banks too big for
-        # the device budget; the ragged tail pads only its own chunk
         parts = []
         for s in range(0, v, chunk):
-            piece = np.asarray(features[s : s + chunk], np.float32)
+            if device_feats is not None:
+                piece = device_feats[s : s + chunk]
+                if piece.shape[0] < chunk:
+                    piece = jnp.concatenate(
+                        [piece, jnp.zeros((chunk - piece.shape[0], *piece.shape[1:]),
+                                          piece.dtype)]
+                    )
+                parts.append(chunk_fn(piece.astype(feat_dtype)))
+                continue
+            # host path (bank streams from host): ship fp16 — features are
+            # cached as fp16 on disk anyway, and fp32 chunks double the
+            # transfer; the ragged tail pads only its own chunk
+            piece = np.asarray(features[s : s + chunk], np.float16)
             if piece.shape[0] < chunk:
                 piece = np.concatenate(
                     [piece, np.zeros((chunk - piece.shape[0], *piece.shape[1:]),
-                                     np.float32)]
+                                     np.float16)]
                 )
-            parts.append(chunk_fn(jnp.asarray(piece, feat_dtype)))
+            parts.append(chunk_fn(jnp.asarray(piece).astype(feat_dtype)))
         return jax.device_put(jnp.concatenate(parts, axis=0)[:v], self._replicated)
 
     # -- jitted steps ----------------------------------------------------------
@@ -789,7 +810,7 @@ class RerankEngine:
         return score, prior
 
     def _tvg_packed_step_impl(
-        self, params, lora, banks, video_vocab,
+        self, params, lora, first_ids, tvg_embeds, video_vocab,
         pack_ids, pack_seg, pack_pos, q_seg, q_cap, q_vid,
         *, cpn: bool, position_offset: int,
     ):
@@ -803,8 +824,8 @@ class RerankEngine:
             lora=lora, lora_scale=self.lora_scale,
         )
         g, qn = q_seg.shape
-        q_first = jnp.take(banks["first_ids"], q_cap.reshape(-1), axis=0).reshape(g, qn)
-        q_video = jnp.take(banks["tvg_embeds"], q_vid.reshape(-1), axis=0)
+        q_first = jnp.take(first_ids, q_cap.reshape(-1), axis=0).reshape(g, qn)
+        q_video = jnp.take(tvg_embeds, q_vid.reshape(-1), axis=0)
         q_video = q_video.reshape(g, qn, *q_video.shape[1:])
         return vcf.score_tvg_packed(
             params, self.config, kv, pack_seg, q_seg, q_first, q_video, q_vid,
@@ -883,7 +904,12 @@ class RerankEngine:
         assert "tvg_embeds" in banks, "upload() computes tvg_embeds for TVG banks"
         assert banks.get("lora_ref_host") is self.lora, (
             "engine.lora changed since upload(): tvg_embeds is stale — re-upload")
-        dev_banks = self._dev_banks(banks)
+        # pass the step ONLY what it reads: putting the whole bank dict in
+        # the jit args would make the (unused) raw feature bank an input,
+        # and its lazy first-use transfer (+4.7s at 256 videos) would stall
+        # the TVG steps — defeating the TVG-first transfer-hiding order in
+        # engine/evaluation.py
+        first_ids, tvg_embeds = banks["first_ids"], banks["tvg_embeds"]
         pending = []
 
         def run_pass(out_vec, seg_lens_eff, head_len, cpn):
@@ -900,7 +926,7 @@ class RerankEngine:
                 ]
                 # feed/HBM balance: pack KV (~59MB at T=512) plus the flat
                 # queries' fp32 score transients bound packs per step
-                G = max(1, min(2200 // (size + qn * W), 8))
+                G = max(1, min(self.pack_token_budget // (size + qn * W), 8))
                 G *= self.n_data
                 m = len(packs)
                 m_pad = -(-m // G) * G
@@ -910,8 +936,8 @@ class RerankEngine:
                     arrs = [np.stack([rows[i][j] for i in sl]) for j in range(6)]
                     dev = [jax.device_put(a, gs2) for a in arrs]
                     out = self._tvg_packed_step(
-                        self.params, self.lora, dev_banks, video_vocab, *dev,
-                        cpn=cpn,
+                        self.params, self.lora, first_ids, tvg_embeds,
+                        video_vocab, *dev, cpn=cpn,
                     )
                     self.flops += flops_lib.packed_prefix_kv_flops(llm, G, size)
                     self.flops += flops_lib.flat_query_suffix_flops(llm, G * qn, W, size)
@@ -1364,7 +1390,7 @@ class RerankEngine:
                     n_segments=size // 4, video_direct=stream,
                 )
 
-            G = max(1, min(2200 // (P_len + size), 8)) * self.n_data
+            G = max(1, min(self.pack_token_budget // (P_len + size), 8)) * self.n_data
             for sl_real, out in self._run_pack_batches(packs, size, banks, G, run_step):
                 pending.append(([packs[i][2] for i in sl_real], out))
                 if stream and len(pending) >= 8:
@@ -1415,7 +1441,7 @@ class RerankEngine:
                     ids, segs, poss, labs, n_segments=size // 4,
                 )
 
-            G = max(1, min(2200 // (P_prior + size), 8)) * self.n_data
+            G = max(1, min(self.pack_token_budget // (P_prior + size), 8)) * self.n_data
             for sl_real, out in self._run_pack_batches(packs, size, banks, G, run_step):
                 pending.append(([packs[i][1] for i in sl_real], out))
         for mapping, out in pending:

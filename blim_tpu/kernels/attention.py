@@ -36,6 +36,7 @@ def _xla_attention(
     query_mask: Optional[jax.Array], # (B, S) 1 = emit output (varlen semantics)
     causal: bool,
     scale: float,
+    window: Optional[jax.Array] = None,  # scalar: query i sees key j iff i-j <= window
 ) -> jax.Array:
     b, s, hq, d = q.shape
     hkv = k.shape[2]
@@ -52,6 +53,14 @@ def _xla_attention(
         idx = jnp.arange(s)
         mask = idx[:, None] >= idx[None, :]          # (Sq, Sk)
         mask = mask[None, None, None]
+    if window is not None:
+        # sliding window (flash-attn window_size=(w, w) + causal semantics,
+        # reference: modeling_qwen2_flash.py:560): key j visible to query i
+        # iff i - j <= w
+        idx = jnp.arange(s)
+        wmask = (idx[:, None] - idx[None, :]) <= window
+        wmask = wmask[None, None, None]
+        mask = wmask if mask is None else jnp.logical_and(mask, wmask)
     if key_mask is not None:
         km = key_mask.astype(bool)[:, None, None, None, :]  # (B,1,1,1,Sk)
         mask = km if mask is None else jnp.logical_and(mask, km)
@@ -76,16 +85,22 @@ def multi_head_attention(
     causal: bool = True,
     scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
+    window: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """GQA attention. Shapes: q (B,S,Hq,D); k,v (B,S,Hkv,D) -> (B,S,Hq,D)."""
+    """GQA attention. Shapes: q (B,S,Hq,D); k,v (B,S,Hkv,D) -> (B,S,Hq,D).
+    `window` (scalar, may be traced): sliding-window bound — query i attends
+    to key j iff i - j <= window; forces the XLA path (the flash kernel has
+    no window support; sliding window is dormant in BLiM configs)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if window is not None:
+        use_pallas = False
     if use_pallas:
         from blim_tpu.kernels.flash_attention import flash_attention
 
         return flash_attention(
             q, k, v, key_mask=key_mask, query_mask=query_mask, causal=causal, scale=scale
         )
-    return _xla_attention(q, k, v, key_mask, query_mask, causal, scale)
+    return _xla_attention(q, k, v, key_mask, query_mask, causal, scale, window)

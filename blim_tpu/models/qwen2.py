@@ -119,6 +119,7 @@ def _layer(
     use_pallas: Optional[bool],
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
+    window: Optional[jax.Array] = None,
 ) -> jax.Array:
     from blim_tpu.adapters.lora import apply_dense
 
@@ -137,7 +138,7 @@ def _layer(
     k = apply_rope(k, cos, sin)
     attn = multi_head_attention(
         q, k, v, key_mask=key_mask, query_mask=query_mask, causal=True,
-        scale=hd ** -0.5, use_pallas=use_pallas,
+        scale=hd ** -0.5, use_pallas=use_pallas, window=window,
     )
     attn = apply_dense(lp["o_proj"], attn.reshape(B, S, H * hd), lo("o_proj"), lora_scale)
     hidden = hidden + attn
@@ -155,6 +156,26 @@ def _layer(
 
 def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
     return jnp.take(params["embed_tokens"]["embedding"], input_ids, axis=0)
+
+
+def _layer_windows(config: Qwen2Config, seq_len: int):
+    """Per-layer sliding-window bounds, or None when inactive.
+
+    Reference semantics (modeling_qwen2_flash.py:390-394,522-523): the window
+    applies only when `use_sliding_window` is on, `sliding_window` is set,
+    the sequence exceeds it, and the layer index is below max_window_layers
+    (deeper layers keep full attention)."""
+    c = config
+    if (not c.use_sliding_window or not c.sliding_window
+            or seq_len <= c.sliding_window):
+        return None
+    import numpy as np
+
+    wins = np.where(
+        np.arange(c.num_hidden_layers) < c.max_window_layers,
+        c.sliding_window, seq_len,
+    )
+    return jnp.asarray(wins, jnp.int32)
 
 
 def forward_hidden(
@@ -188,27 +209,36 @@ def forward_hidden(
 
     # close over the static flags (use_pallas/lora_scale) so jax.checkpoint
     # never sees them as traced positional args
-    def layer_fn(lp, hidden, cos, sin, km, qm, ll=None):
-        return _layer(config, lp, hidden, cos, sin, km, qm, use_pallas, ll, lora_scale)
+    def layer_fn(lp, hidden, cos, sin, km, qm, ll=None, win=None):
+        return _layer(config, lp, hidden, cos, sin, km, qm, use_pallas, ll,
+                      lora_scale, window=win)
 
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
 
+    wins = _layer_windows(config, S)
     if lora is None:
-        def scan_body(hidden, lp):
-            out = layer_fn(lp, hidden, cos, sin, attention_mask, attention_mask)
+        def scan_body(hidden, xs):
+            lp, win = (xs, None) if wins is None else xs
+            out = layer_fn(lp, hidden, cos, sin, attention_mask, attention_mask,
+                           None, win)
             return out, None
 
-        hidden, _ = jax.lax.scan(scan_body, inputs_embeds, params["layers"])
+        xs = params["layers"] if wins is None else (params["layers"], wins)
+        hidden, _ = jax.lax.scan(scan_body, inputs_embeds, xs)
     else:
         def scan_body_lora(hidden, xs):
-            lp, ll = xs
-            out = layer_fn(lp, hidden, cos, sin, attention_mask, attention_mask, ll)
+            if wins is None:
+                (lp, ll), win = xs, None
+            else:
+                lp, ll, win = xs
+            out = layer_fn(lp, hidden, cos, sin, attention_mask, attention_mask,
+                           ll, win)
             return out, None
 
-        hidden, _ = jax.lax.scan(
-            scan_body_lora, inputs_embeds, (params["layers"], lora["layers"])
-        )
+        xs = ((params["layers"], lora["layers"]) if wins is None
+              else (params["layers"], lora["layers"], wins))
+        hidden, _ = jax.lax.scan(scan_body_lora, inputs_embeds, xs)
     return rms_norm(hidden, params["norm"]["scale"], config.rms_norm_eps)
 
 
@@ -239,11 +269,20 @@ def forward_collect_kv(
         position_ids = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
     cos, sin = rope_cos_sin(position_ids, c.head_dim, c.rope_theta)
 
+    wins = _layer_windows(config, S)
+
     def scan_body(hidden, xs):
+        win = None
         if lora is None:
-            lp, ll = xs, None
+            if wins is None:
+                lp, ll = xs, None
+            else:
+                (lp, win), ll = xs, None
         else:
-            lp, ll = xs
+            if wins is None:
+                lp, ll = xs
+            else:
+                lp, ll, win = xs
 
         def lo(name):
             return None if ll is None else ll.get(name)
@@ -256,7 +295,7 @@ def forward_collect_kv(
         k = apply_rope(k, cos, sin)
         attn = multi_head_attention(
             q, k, v, key_mask=attention_mask, query_mask=attention_mask,
-            causal=True, scale=hd ** -0.5, use_pallas=use_pallas,
+            causal=True, scale=hd ** -0.5, use_pallas=use_pallas, window=win,
         )
         attn = apply_dense(lp["o_proj"], attn.reshape(B, S, H * hd), lo("o_proj"), lora_scale)
         hidden = hidden + attn
@@ -266,7 +305,11 @@ def forward_collect_kv(
         hidden = hidden + (gate * up) @ lp["down_proj"]["kernel"]
         return hidden, (k, v)
 
-    xs = params["layers"] if lora is None else (params["layers"], lora["layers"])
+    if lora is None:
+        xs = params["layers"] if wins is None else (params["layers"], wins)
+    else:
+        xs = ((params["layers"], lora["layers"]) if wins is None
+              else (params["layers"], lora["layers"], wins))
     hidden, (ks, vs) = jax.lax.scan(scan_body, inputs_embeds, xs)
     hidden = rms_norm(hidden, params["norm"]["scale"], config.rms_norm_eps)
     return hidden, {"k": ks, "v": vs}

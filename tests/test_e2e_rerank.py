@@ -165,9 +165,12 @@ def test_e2e_tvg_works_with_streamed_feature_bank(setup, tokenizer):
     resident = RerankEngine(params, cfg, vtg_l, tvg_l, mesh, batch_size=2)
     t2v_r, v2t_r = evaluation(resident, inputs, tokenizer, "MSRVTT",
                               topk=TOPK, cpn=False, has_tvg=True, verbose=False)
+    # fp16 tolerance: the streamed path ships tvg_embeds' projection chunks
+    # as fp16 (features are cached fp16 on disk, so production loses nothing;
+    # fp32 chunks doubled the upload and stalled the flow's first steps)
     for key in ("candidate_likelihood", "query_likelihood"):
-        np.testing.assert_allclose(t2v_s[key], t2v_r[key], rtol=0, atol=3e-4)
-        np.testing.assert_allclose(v2t_s[key], v2t_r[key], rtol=0, atol=3e-4)
+        np.testing.assert_allclose(t2v_s[key], t2v_r[key], rtol=2e-3, atol=5e-3)
+        np.testing.assert_allclose(v2t_s[key], v2t_r[key], rtol=2e-3, atol=5e-3)
 
     banks = engine.upload(
         CaptionBank.build_vtg(inputs.captions, tokenizer, "MSRVTT", vtg_l),
