@@ -66,6 +66,15 @@ def make_captions(n, rng, budget):
     return caps
 
 
+def _drain_device():
+    """Synchronous tiny device roundtrip: the tunnel processes RPCs in order,
+    so this returning means every pending dealloc/dispatch has landed."""
+    import jax
+    import jax.numpy as jnp
+
+    np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((), jnp.int32)))
+
+
 def run_flow(engine, inputs, tok, dataset, topk, cpn, finetuned, naive, trials):
     """Time the full evaluation flow; returns (elapsed_s, flops, t2v, v2t)."""
     import gc
@@ -78,8 +87,12 @@ def run_flow(engine, inputs, tok, dataset, topk, cpn, finetuned, naive, trials):
         if t:
             # each trial re-uploads the banks; deallocation through the
             # tunnel is deferred, so let the previous trial's frees land
-            # before allocating the next copy next to the 7B
+            # before allocating the next copy next to the 7B. The tiny
+            # device roundtrip is a FIFO drain barrier: without it the
+            # dealloc RPCs land under the NEXT trial's upload (+4-14s
+            # of upload wall measured at 256 videos)
             gc.collect()
+            _drain_device()
             time.sleep(3)
         for attempt in (0, 1):
             try:
@@ -100,6 +113,7 @@ def run_flow(engine, inputs, tok, dataset, topk, cpn, finetuned, naive, trials):
                       file=sys.stderr)
                 gc.collect()
                 time.sleep(10)
+        print(f"# trial {t}: {dt:.1f}s", file=sys.stderr)
         if dt < elapsed:
             elapsed, flops, useful = dt, engine.flops, engine.useful_flops
     return elapsed, flops, useful, t2v, v2t
@@ -247,6 +261,9 @@ def main():
                     help="make the fine-tuned 6-matrix eval the PRIMARY metric")
     ap.add_argument("--skip-finetuned-line", action="store_true",
                     help="suppress the secondary fine-tuned JSON line")
+    ap.add_argument("--feature-budget", type=int, default=-1,
+                    help="max_device_feature_bytes (-1 = auto: resident bank "
+                         "if it fits 256MB, else host-streamed)")
     ap.add_argument("--finetuned-queries", type=int, default=256,
                     help="query count for the secondary fine-tuned line")
     ap.add_argument("--trials", type=int, default=2,
@@ -347,7 +364,10 @@ def main():
         # step variant: pin the engine to the mode the big run will use
         feat_bytes = m * cfg.num_clips * cfg.tokens_per_clip * cfg.mm_hidden_size * 2
         auto_budget = float("inf") if args.tiny else 256 * 2**20
-        budget = 0 if feat_bytes > auto_budget else None
+        if args.feature_budget >= 0:
+            budget = args.feature_budget
+        else:
+            budget = 0 if feat_bytes > auto_budget else None
         return RerankEngine(
             params, cfg, layout, tvg_layout if finetuned else None, mesh,
             batch_size=args.batch, groups_per_step=args.groups,
@@ -395,6 +415,12 @@ def main():
             engine, warm, tok, dataset, topk=args.topk,
             cpn=not args.no_cpn, has_tvg=finetuned, verbose=False,
             shared_prefix=not args.naive))
+        # drop + drain the warmup's banks so their deallocs don't land
+        # under trial 0's upload (see run_flow's trial-boundary barrier)
+        import gc
+
+        gc.collect()
+        _drain_device()
         elapsed, flops, useful, t2v, v2t = run_flow(
             engine, make_inputs(m), tok, dataset, args.topk,
             not args.no_cpn, finetuned, args.naive, trials,

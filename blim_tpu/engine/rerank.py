@@ -395,6 +395,14 @@ class RerankEngine:
         self.max_device_feature_bytes = max_device_feature_bytes
 
         self._replicated = NamedSharding(mesh, P())
+        # device_put of a LARGE host array to a NamedSharding takes a slow
+        # tunneled path (~10s blocking at 134MB, vs 0.2s enqueue + background
+        # drain to a raw Device, measured on v5e through the axon tunnel).
+        # On a one-device mesh, ship big banks to the Device, then reshard
+        # on-device with an identity jit so the jitted steps still see
+        # NamedSharding inputs (mixed shardings cost ~10% e2e, measured).
+        self._one_device = mesh.devices.flat[0] if mesh.devices.size == 1 else None
+        self._reshard = jax.jit(lambda x: x, out_shardings=self._replicated)
         self._pair_sharded = NamedSharding(mesh, P(DATA_AXIS))
         if dict(mesh.shape).get("model", 1) > 1:
             # tensor-parallel params over the `model` axis — for checkpoints
@@ -517,6 +525,15 @@ class RerankEngine:
 
     # -- device-resident banks ------------------------------------------------
 
+    def _put_replicated(self, x, big: bool = False):
+        """Replicated device_put. `big=True` routes through the fast
+        Device-target wire path + on-device identity-jit reshard (see
+        __init__._one_device) — host->NamedSharding puts of 100MB+ arrays
+        block ~10s through the tunnel; this enqueues in ~0.2s."""
+        if big and self._one_device is not None:
+            return self._reshard(jax.device_put(x, self._one_device))
+        return jax.device_put(x, self._replicated)
+
     def upload(self, bank: CaptionBank, features, shared_feats: Optional[Dict] = None) -> Dict[str, jax.Array]:
         """Put a caption bank + the video feature bank into (replicated) HBM.
         Features are stored at the model's compute dtype (bf16 on TPU) — they
@@ -537,10 +554,11 @@ class RerankEngine:
         if not jnp.issubdtype(feat_dtype, jnp.floating):
             feat_dtype = jnp.float32
         feat_bytes = features.size * (2 if feat_dtype != jnp.float32 else 4)
+        put = self._put_replicated
         dev = {
-            "ids": jax.device_put(jnp.asarray(bank.input_ids), self._replicated),
-            "attn": jax.device_put(jnp.asarray(bank.attention_mask), self._replicated),
-            "cpn": jax.device_put(jnp.asarray(bank.cpn_mask), self._replicated),
+            "ids": put(np.asarray(bank.input_ids)),
+            "attn": put(np.asarray(bank.attention_mask)),
+            "cpn": put(np.asarray(bank.cpn_mask)),
         }
         if shared_feats is not None and ("feats" in shared_feats or "feats_host" in shared_feats):
             # VTG and TVG banks of the same eval share one resident copy —
@@ -549,15 +567,21 @@ class RerankEngine:
                 if key in shared_feats:
                     dev[key] = shared_feats[key]
         elif feat_bytes <= self.max_device_feature_bytes:
-            dev["feats"] = jax.device_put(jnp.asarray(features, feat_dtype), self._replicated)
+            # convert on HOST (numpy + ml_dtypes, ~0.1s) before device_put:
+            # jnp.asarray(features, bf16) BLOCKS ~10s for a 134MB bank through
+            # the tunnel, while astype + a Device-targeted put enqueues in
+            # ~0.14s and the transfer drains in the background, hidden under
+            # the TVG-first scoring order (engine/evaluation.py)
+            host = np.asarray(features).astype(np.dtype(feat_dtype))
+            dev["feats"] = put(host, big=True)
         else:
             dev["feats_host"] = np.asarray(features, np.float16)
         if bank.window_labels is not None:
-            dev["labels"] = jax.device_put(jnp.asarray(bank.window_labels), self._replicated)
+            dev["labels"] = put(np.asarray(bank.window_labels))
         if bank.suffix_ids is not None:
-            dev["suffix_ids"] = jax.device_put(jnp.asarray(bank.suffix_ids), self._replicated)
-            dev["suffix_mask"] = jax.device_put(jnp.asarray(bank.suffix_mask), self._replicated)
-            dev["suffix_labels"] = jax.device_put(jnp.asarray(bank.suffix_labels), self._replicated)
+            dev["suffix_ids"] = put(np.asarray(bank.suffix_ids))
+            dev["suffix_mask"] = put(np.asarray(bank.suffix_mask))
+            dev["suffix_labels"] = put(np.asarray(bank.suffix_labels))
             # host-side copies: real lengths for width bucketing, tokens and
             # labels for host-side pack assembly (the packed path concatenates
             # variable-length suffixes into fixed-size rows per step)
@@ -565,10 +589,10 @@ class RerankEngine:
             dev["suffix_ids_host"] = np.asarray(bank.suffix_ids)
             dev["suffix_labels_host"] = np.asarray(bank.suffix_labels)
         if bank.prefix_ids is not None:
-            dev["prefix_ids"] = jax.device_put(jnp.asarray(bank.prefix_ids), self._replicated)
-            dev["prefix_mask"] = jax.device_put(jnp.asarray(bank.prefix_mask), self._replicated)
-            dev["prefix_cpn"] = jax.device_put(jnp.asarray(bank.prefix_cpn), self._replicated)
-            dev["first_ids"] = jax.device_put(jnp.asarray(bank.first_ids), self._replicated)
+            dev["prefix_ids"] = put(np.asarray(bank.prefix_ids))
+            dev["prefix_mask"] = put(np.asarray(bank.prefix_mask))
+            dev["prefix_cpn"] = put(np.asarray(bank.prefix_cpn))
+            dev["first_ids"] = put(np.asarray(bank.first_ids))
             # real (unpadded) prefix length per caption, for width bucketing:
             # the left-padded TVG prefix is ~70% pad at typical caption
             # lengths, and pad keys are dispatched work even though masked

@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--caption-tokens", type=int, default=96)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--no-lora", action="store_true", help="A/B: measure the adapter tax")
     args = ap.parse_args()
 
     import jax
@@ -67,9 +68,12 @@ def main():
     mesh = make_mesh()
     feat_bytes = n * cfg.num_clips * cfg.tokens_per_clip * cfg.mm_hidden_size * 2
     budget = 0 if (not args.tiny and feat_bytes > 256 * 2**20) else None
+    if args.no_lora:
+        lora = None
     engine = RerankEngine(
         params, cfg, layout, tvg_layout, mesh, batch_size=16,
-        lora=lora, lora_scale=lcfg.scale, max_device_feature_bytes=budget,
+        lora=lora, lora_scale=lcfg.scale if lora else 0.0,
+        max_device_feature_bytes=budget,
     )
 
     iv2_a = rng.standard_normal((n, n)).astype(np.float32)
