@@ -397,19 +397,26 @@ def main():
 
     def measure(finetuned, m, trials):
         engine = build_engine(finetuned, m)
-        # warmup/compile on a reduced problem (step shapes are size-independent);
-        # cover EVERY suffix width bucket so bucket-specific compiles/OOMs
-        # surface here, not mid-measurement (a short warmup sample from the
-        # realistic length distribution may never hit the full-width bucket)
-        nw = min(m, max(2 * args.topk, args.batch))
-        warm = make_inputs(nw)
-        warm_caps = list(warm.captions)
+        # warmup/compile at a size whose pack-class mix covers the measured
+        # run: a 32-item warmup left the {384..768} VTG pack classes and the
+        # larger TVG classes uncompiled, and their remote compiles landed in
+        # trial 0 (+38s reproducible). DIFFERENT data than the trials — the
+        # tunnel result-caches identical (executable, inputs) pairs — from a
+        # separate rng stream; width-bucket sentinel captions still cover
+        # every suffix bucket (bucket-specific compiles/OOMs surface here).
+        nw = min(m, 192)
+        wrng = np.random.default_rng(args.seed + 7919)
+        warm_caps = make_captions(nw, wrng, args.caption_tokens)
         for j, length in enumerate(b - 2 for b in engine.suffix_buckets):
             if j < len(warm_caps):
                 warm_caps[j] = ("x" * max(length, 4))[:length]
         warm = EvalInputs(
-            captions=warm_caps, item_video_idx=warm.item_video_idx,
-            features=warm.features, t2v_iv2=warm.t2v_iv2, v2t_iv2=warm.v2t_iv2,
+            captions=warm_caps, item_video_idx=np.arange(nw),
+            features=np.asarray(wrng.standard_normal(
+                (nw, cfg.num_clips, cfg.tokens_per_clip, cfg.mm_hidden_size)),
+                np.float32) * 0.5,
+            t2v_iv2=wrng.standard_normal((nw, nw)).astype(np.float32) + 0.01,
+            v2t_iv2=wrng.standard_normal((nw, nw)).astype(np.float32) + 0.01,
         )
         warmup_with_retry(lambda: evaluation(
             engine, warm, tok, dataset, topk=args.topk,

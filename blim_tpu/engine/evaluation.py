@@ -57,7 +57,16 @@ def evaluation(
     item_vid = np.asarray(inputs.item_video_idx)
 
     vtg_bank = CaptionBank.build_vtg(inputs.captions, tokenizer, dataset, engine.vtg_layout)
-    vtg_banks = engine.upload(vtg_bank, inputs.features)
+    # defer the feature-bank wire transfer: the tunnel is one FIFO wire, so
+    # a big put here would serialize ahead of every scoring request. The
+    # feature-INDEPENDENT CPN prior pass dispatches first (deferred), then
+    # flush_feats streams the bank while the device chews priors.
+    vtg_banks = engine.upload(vtg_bank, inputs.features, defer_feats=shared_prefix)
+    prior_fin = None
+    if shared_prefix and cpn and packed:
+        # the CPN prior is feature-independent (text-only prefix)
+        prior_fin = engine.compute_vtg_priors_packed(vtg_banks, deferred=True)
+    engine.flush_feats(vtg_banks)
     if has_tvg:
         tvg_bank = CaptionBank.build_tvg(inputs.captions, tokenizer, engine.tvg_layout)
         tvg_banks = engine.upload(tvg_bank, inputs.features, shared_feats=vtg_banks)
@@ -109,8 +118,9 @@ def evaluation(
                 tp[t_rows, t_cols] = tpriors[inv[n1:]]
                 t2v_dict["candidate_prior"] = tp
         if cpn:
-            # the CPN prior is also feature-independent (text-only prefix)
-            prior = (engine.compute_vtg_priors_packed(vtg_banks) if packed
+            # packed: dispatched before the feature transfer (see above);
+            # finalize() only syncs + scatters
+            prior = (prior_fin() if prior_fin is not None
                      else engine.compute_vtg_priors(vtg_banks))
             pmat = np.full((n, n), fill, np.float32)
             pmat[v_rows, v_cols] = prior[v_cols]

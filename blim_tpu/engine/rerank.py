@@ -534,7 +534,16 @@ class RerankEngine:
             return self._reshard(jax.device_put(x, self._one_device))
         return jax.device_put(x, self._replicated)
 
-    def upload(self, bank: CaptionBank, features, shared_feats: Optional[Dict] = None) -> Dict[str, jax.Array]:
+    def flush_feats(self, banks: Dict[str, Any]) -> None:
+        """Trigger a deferred feature-bank transfer (see upload(defer_feats=
+        True)). Idempotent; no-op for host-streamed or already-shipped
+        banks."""
+        host = banks.pop("feats_pending_host", None)
+        if host is not None:
+            banks["feats"] = self._put_replicated(host, big=True)
+
+    def upload(self, bank: CaptionBank, features, shared_feats: Optional[Dict] = None,
+               defer_feats: bool = False) -> Dict[str, jax.Array]:
         """Put a caption bank + the video feature bank into (replicated) HBM.
         Features are stored at the model's compute dtype (bf16 on TPU) — they
         are cached as fp16 on disk anyway, and fp32 residency doubles the HBM
@@ -563,7 +572,7 @@ class RerankEngine:
         if shared_feats is not None and ("feats" in shared_feats or "feats_host" in shared_feats):
             # VTG and TVG banks of the same eval share one resident copy —
             # a second 7B-sized-headroom eats 134MB per 256 videos otherwise
-            for key in ("feats", "feats_host"):
+            for key in ("feats", "feats_host", "feats_pending_host"):
                 if key in shared_feats:
                     dev[key] = shared_feats[key]
         elif feat_bytes <= self.max_device_feature_bytes:
@@ -573,7 +582,15 @@ class RerankEngine:
             # ~0.14s and the transfer drains in the background, hidden under
             # the TVG-first scoring order (engine/evaluation.py)
             host = np.asarray(features).astype(np.dtype(feat_dtype))
-            dev["feats"] = put(host, big=True)
+            if defer_feats:
+                # the tunnel is one FIFO wire: a 134MB put enqueued here
+                # serializes ~5s ahead of every later request. Deferring
+                # lets the caller dispatch feature-independent work (the
+                # CPN prior pass) FIRST, then flush_feats() — the device
+                # chews priors while the wire streams the bank.
+                dev["feats_pending_host"] = host
+            else:
+                dev["feats"] = put(host, big=True)
         else:
             dev["feats_host"] = np.asarray(features, np.float16)
         if bank.window_labels is not None:
@@ -606,6 +623,9 @@ class RerankEngine:
             # gathers (V, clips, D) rows instead of projecting per pair —
             # without this the projector's (G, K, clips, 64, hidden)
             # intermediate dominates step HBM and caps the group batch.
+            # the projection slices the device bank: a deferred transfer
+            # must flush first (the caller overlaps it with the prior pass)
+            self.flush_feats(dev)
             dev["tvg_embeds"] = self._project_tvg_bank(
                 features, device_feats=dev.get("feats"))
             # snapshot the LoRA identity baked into tvg_embeds (see docstring)
@@ -1186,6 +1206,8 @@ class RerankEngine:
 
     @staticmethod
     def _require_device_feats(banks: Dict[str, Any], path: str) -> None:
+        assert "feats_pending_host" not in banks, (
+            "deferred feature transfer never flushed — call engine.flush_feats")
         if "feats" not in banks:
             raise RuntimeError(
                 f"{path} needs the device-resident feature bank, but it exceeded "
@@ -1239,6 +1261,7 @@ class RerankEngine:
         feed) and the prefix-KV + fp32 score temps stay inside the ~400MB HBM
         headroom next to the 7B."""
         self.useful_flops += self._useful_vtg(banks, cap_idx, vid_idx)
+        self.flush_feats(banks)
         G = groups_per_step or self.groups_per_step
         prefix_ids, prefix_mask = self._vtg_prefix_arrays()
         P_len = int(prefix_ids.shape[0])
@@ -1381,6 +1404,7 @@ class RerankEngine:
         production caption-length distribution, and 3 compiled variants
         instead of 11."""
         self.useful_flops += self._useful_vtg(banks, cap_idx, vid_idx)
+        self.flush_feats(banks)
         prefix_ids, prefix_mask = self._vtg_prefix_arrays()
         P_len = int(prefix_ids.shape[0])
         llm = self.config.llm
@@ -1445,10 +1469,13 @@ class RerankEngine:
             out = run_step(sl, arrs)
             yield sl[: min(G, m - s)], out
 
-    def compute_vtg_priors_packed(self, banks: Dict[str, jax.Array]) -> np.ndarray:
+    def compute_vtg_priors_packed(self, banks: Dict[str, jax.Array],
+                                  deferred: bool = False):
         """CPN prior P(t) for EVERY caption via the packed schedule: all
         captions share the one text-only prefix, so packs fill with zero
-        grouping constraints. Returns (n_captions,)."""
+        grouping constraints. Returns (n_captions,), or — with
+        `deferred=True` — a zero-arg finalize() that returns it (steps are
+        already dispatched; finalize only syncs + scatters)."""
         self.useful_flops += self._useful_vtg_prior(banks)
         prior_kv, prior_mask = self.compute_prior_kv(self.vtg_layout)
         P_prior = int(prior_mask.shape[1])
@@ -1475,12 +1502,21 @@ class RerankEngine:
             G = max(1, min(self.pack_token_budget // (P_prior + size), 8)) * self.n_data
             for sl_real, out in self._run_pack_batches(packs, size, banks, G, run_step):
                 pending.append(([packs[i][1] for i in sl_real], out))
-        for mapping, out in pending:
-            out = np.asarray(out, np.float32)
-            for gi, caps in enumerate(mapping):
-                for si, c in enumerate(caps):
-                    prior[c] = out[gi, si]
-        return prior
+
+        def finalize() -> np.ndarray:
+            for mapping, out in pending:
+                out_np = np.asarray(out, np.float32)
+                for gi, caps in enumerate(mapping):
+                    for si, c in enumerate(caps):
+                        prior[c] = out_np[gi, si]
+            return prior
+
+        if deferred:
+            # all steps are dispatched (async); the caller collects results
+            # via finalize() later — used to overlap this feature-independent
+            # pass with the feature bank's wire transfer (engine/evaluation.py)
+            return finalize
+        return finalize()
 
     def score_grid_vtg_shared(
         self,
@@ -1553,6 +1589,7 @@ class RerankEngine:
         step_flops = (2 if with_prior else 1) * flops_lib.full_forward_flops(
             self.config.llm, self.batch_size, T, lm_positions=wl
         )
+        self.flush_feats(banks)
         self._require_device_feats(banks, "naive VTG scoring")
         scores, priors = self._run_pairs(
             self._vtg_step, len(rows), cap_idx, vid_idx,
@@ -1589,6 +1626,7 @@ class RerankEngine:
                 int(video_vocab.shape[0]),
             )
         )
+        self.flush_feats(banks)
         self._require_device_feats(banks, "naive TVG scoring")
         scores, priors = self._run_pairs(
             self._tvg_step, len(rows), cap_idx, vid_idx,
