@@ -635,11 +635,13 @@ def forward_suffix_with_prefix(
         k = apply_dense(lp["k_proj"], x, lo("k_proj"), lora_scale).reshape(G, K, W, Kh, hd)
         v = apply_dense(lp["v_proj"], x, lo("v_proj"), lora_scale).reshape(G, K, W, Kh, hd)
         q, k = rope4(q), rope4(k)
-        from blim_tpu.kernels.prefix_attention import prefix_attention
-
-        attn = prefix_attention(
-            q, k, v, kv_k, kv_v, suffix_mask, prefix_mask, hd ** -0.5,
-            use_pallas=use_pallas,
+        # Always the XLA grouped formulation. A fused-K Pallas kernel for
+        # this shape won per-op at every rectangle (G, K, W) (1.06-2.15x,
+        # r2 scoreboard) but was an e2e wash on zero-shot and a 45% loss on
+        # the fine-tuned flow, and the r3 packed schedules removed the
+        # rectangle from production entirely — deleted (see CLAUDE.md).
+        attn = _grouped_prefix_attention(
+            q, k, v, kv_k, kv_v, suffix_mask, hd ** -0.5, prefix_mask=prefix_mask
         )
         attn = apply_dense(lp["o_proj"], attn.reshape(G, K, W, H * hd), lo("o_proj"), lora_scale)
         hidden = hidden + attn
