@@ -79,6 +79,10 @@ def test_load_iv2_scores(data_root):
 def _run_cli(data_root, tmp_path, extra):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # 4 virtual devices (not the suite's 8): the XLA CPU collective
+    # rendezvous aborts after 40s if its per-device threads starve, and 8
+    # threads on this 1-core host flake under any concurrent load
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     cmd = [
         sys.executable, "-m", "blim_tpu.pipelines.main",
         "--tiny", "--dataset", "MSRVTT",
@@ -95,11 +99,18 @@ def _run_cli(data_root, tmp_path, extra):
         "import runpy, sys; sys.argv = " + repr(["main.py"] + cmd[3:]) + ";"
         "runpy.run_module('blim_tpu.pipelines.main', run_name='__main__')"
     )
-    return subprocess.run(
-        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        timeout=900,
-    )
+    for attempt in (0, 1):
+        r = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=900,
+        )
+        # known infra flake, not a product bug: the XLA CPU collective
+        # rendezvous SIGABRTs when its device threads starve for 40s on
+        # this 1-core host — retry once on that exact signature
+        if r.returncode == 0 or "rendezvous" not in r.stderr.lower():
+            return r
+    return r
 
 
 @pytest.mark.slow
