@@ -92,39 +92,24 @@ def evaluation(
         if verbose:
             print(f"VTG union: {len(u_cap)} unique pairs of {len(all_caps)} "
                   f"grid cells (topk={topk})")
-        # TVG FIRST: the upload()'s big feature-bank transfer is async and
-        # the VTG steps gather from it — running VTG immediately serializes
-        # its first steps behind the transfer (+4.7s measured at 256
-        # videos). The TVG direction reads only the small precomputed
-        # tvg_embeds, so running it first hides the transfer entirely.
+        # Dispatch order around the FIFO wire + device queue: the CPN prior
+        # pass went out first (no feature dependency), the feature transfer
+        # streams under it, TVG (reads only the small precomputed
+        # tvg_embeds) dispatches DEFERRED so the host assembles + dispatches
+        # the VTG pass while the device drains TVG, and every result sync
+        # happens after all passes are in flight.
+        tvg_fin = None
         if has_tvg:
             # TVG dedup: v2t_query[i,j] == t2v_candidate[j,i] == P(video i | caption j)
             if packed:
-                tscores, tpriors = engine.score_pairs_tvg_packed(
-                    tvg_banks, video_vocab, u_cap, u_vid, with_prior=cpn
+                tvg_fin = engine.score_pairs_tvg_packed(
+                    tvg_banks, video_vocab, u_cap, u_vid, with_prior=cpn,
+                    deferred=True,
                 )
             else:
                 tscores, tpriors = engine.score_pairs_tvg_shared(
                     tvg_banks, video_vocab, u_cap, u_vid, 2 * topk, with_prior=cpn
                 )
-            vq = np.full((n, n), fill, np.float32)
-            vq[v_rows, v_cols] = tscores[inv[:n1]]
-            tc = np.full((n, n), fill, np.float32)
-            tc[t_rows, t_cols] = tscores[inv[n1:]]
-            v2t_dict["query_likelihood"] = vq
-            t2v_dict["candidate_likelihood"] = tc
-            if cpn:
-                tp = np.full((n, n), fill, np.float32)
-                tp[t_rows, t_cols] = tpriors[inv[n1:]]
-                t2v_dict["candidate_prior"] = tp
-        if cpn:
-            # packed: dispatched before the feature transfer (see above);
-            # finalize() only syncs + scatters
-            prior = (prior_fin() if prior_fin is not None
-                     else engine.compute_vtg_priors(vtg_banks))
-            pmat = np.full((n, n), fill, np.float32)
-            pmat[v_rows, v_cols] = prior[v_cols]
-            v2t_dict["candidate_prior"] = pmat
 
         # union groups hold ~2*topk pairs per video on average (each video is
         # in its own v2t row AND ~topk queries' t2v lists). Default: packed
@@ -140,6 +125,26 @@ def evaluation(
         query[t_rows, t_cols] = scores[inv[n1:]]
         v2t_dict["candidate_likelihood"] = cand
         t2v_dict["query_likelihood"] = query
+
+        if has_tvg:
+            if tvg_fin is not None:
+                tscores, tpriors = tvg_fin()
+            vq = np.full((n, n), fill, np.float32)
+            vq[v_rows, v_cols] = tscores[inv[:n1]]
+            tc = np.full((n, n), fill, np.float32)
+            tc[t_rows, t_cols] = tscores[inv[n1:]]
+            v2t_dict["query_likelihood"] = vq
+            t2v_dict["candidate_likelihood"] = tc
+            if cpn:
+                tp = np.full((n, n), fill, np.float32)
+                tp[t_rows, t_cols] = tpriors[inv[n1:]]
+                t2v_dict["candidate_prior"] = tp
+        if cpn:
+            prior = (prior_fin() if prior_fin is not None
+                     else engine.compute_vtg_priors(vtg_banks))
+            pmat = np.full((n, n), fill, np.float32)
+            pmat[v_rows, v_cols] = prior[v_cols]
+            v2t_dict["candidate_prior"] = pmat
     else:
         # naive per-pair full-sequence forwards (reference-style)
         if verbose:

@@ -927,9 +927,11 @@ class RerankEngine:
         cap_idx: np.ndarray,       # (n_pairs,) caption per pair
         vid_idx: np.ndarray,       # (n_pairs,) vocab-video per pair
         with_prior: bool,
-    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        deferred: bool = False,
+    ):
         """Packed-prefix TVG scores for a flat pair list -> (scores (n,),
-        priors (n,) | None) in input order.
+        priors (n,) | None) in input order; with `deferred=True`, a zero-arg
+        finalize() returning that tuple (steps already dispatched).
 
         Replaces both bucketing axes of score_pairs_tvg_shared (k-buckets and
         prefix width buckets) with variable-length prefix packs, and makes two
@@ -1001,14 +1003,23 @@ class RerankEngine:
         run_pass(scores, lens, None, False)
         if with_prior:
             run_pass(priors, np.full(len(lens), hl, np.int32), hl, True)
-        for vec, pos_lists, out in pending:
-            out = np.asarray(out, np.float32)
-            for gi, pps in enumerate(pos_lists):
-                vec[pps] = out[gi, : len(pps)]
-        scores = self._allreduce_scores(scores)
-        if with_prior:
-            priors = self._allreduce_scores(priors)
-        return scores, priors
+
+        def finalize():
+            nonlocal scores, priors
+            for vec, pos_lists, out in pending:
+                out = np.asarray(out, np.float32)
+                for gi, pps in enumerate(pos_lists):
+                    vec[pps] = out[gi, : len(pps)]
+            scores = self._allreduce_scores(scores)
+            if with_prior:
+                priors = self._allreduce_scores(priors)
+            return scores, priors
+
+        if deferred:
+            # steps are dispatched; the caller assembles + dispatches the
+            # VTG pass while the device drains this one, then finalize()s
+            return finalize
+        return finalize()
 
     def score_pairs_tvg_shared(
         self,
