@@ -75,8 +75,17 @@ def _drain_device():
     np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((), jnp.int32)))
 
 
-def run_flow(engine, inputs, tok, dataset, topk, cpn, finetuned, naive, trials):
-    """Time the full evaluation flow; returns (elapsed_s, flops, t2v, v2t)."""
+def run_flow(engine, inputs_fn, tok, dataset, topk, cpn, finetuned, naive, trials):
+    """Time the full evaluation flow; returns (elapsed_s, flops, t2v, v2t).
+
+    `inputs_fn(trial)` builds that trial's EvalInputs. Each trial gets FRESH
+    data as a guard against the tunnel's (executable, inputs) result cache:
+    a repeated trial on the same captions/features re-dispatches
+    byte-identical steps, which a value-keyed cache could serve without
+    recompute, inflating best-of-N. (Measured 2026-08-18: reused vs fresh
+    trials were EQUAL at the current step granularity — the guard is
+    defensive, priced at ~0, and keeps future schedules with fewer/larger
+    steps honest.)"""
     import gc
 
     from blim_tpu.engine.evaluation import evaluation
@@ -84,6 +93,7 @@ def run_flow(engine, inputs, tok, dataset, topk, cpn, finetuned, naive, trials):
     elapsed, flops, useful = float("inf"), 0.0, 0.0
     t2v = v2t = None
     for t in range(max(trials, 1)):
+        inputs = inputs_fn(t)
         if t:
             # each trial re-uploads the banks; deallocation through the
             # tunnel is deferred, so let the previous trial's frees land
@@ -266,6 +276,9 @@ def main():
                          "if it fits 256MB, else host-streamed)")
     ap.add_argument("--finetuned-queries", type=int, default=256,
                     help="query count for the secondary fine-tuned line")
+    ap.add_argument("--reuse-trial-data", action="store_true",
+                    help="legacy: reuse identical inputs across trials "
+                         "(vulnerable to tunnel result-cache inflation)")
     ap.add_argument("--trials", type=int, default=2,
                     help="measured trials; best is reported (host/tunnel "
                          "contention adds large run-to-run variance)")
@@ -314,8 +327,6 @@ def main():
     tvg_layout = make_tvg_layout(tok, cfg.num_clips, max_caption_tokens=args.caption_tokens)
 
     n = args.queries
-    rng = np.random.default_rng(args.seed)
-    captions = make_captions(n, rng, args.caption_tokens)
 
     dtype = jnp.float32 if args.tiny else jnp.bfloat16
     n_chips = len(jax.devices())
@@ -329,17 +340,19 @@ def main():
     params = jax.jit(lambda k: vcf.init_params(cfg, k, dtype))(jax.random.key(args.seed))
     jax.block_until_ready(params)
 
-    feats = np.asarray(
-        rng.standard_normal((n, cfg.num_clips, cfg.tokens_per_clip, cfg.mm_hidden_size)),
-        np.float32,
-    ) * 0.5
-    iv2_t2v = rng.standard_normal((n, n)).astype(np.float32) + 0.01
-    iv2_v2t = rng.standard_normal((n, n)).astype(np.float32) + 0.01
-
-    def make_inputs(m):
+    def make_inputs(m, trial=0):
+        # fresh data per (size, trial): result-cache guard, see run_flow
+        r = np.random.default_rng((args.seed, m, trial))
+        if args.reuse_trial_data:
+            r = np.random.default_rng((args.seed, m))
         return EvalInputs(
-            captions=captions[:m], item_video_idx=np.arange(m), features=feats[:m],
-            t2v_iv2=iv2_t2v[:m, :m], v2t_iv2=iv2_v2t[:m, :m],
+            captions=make_captions(m, r, args.caption_tokens),
+            item_video_idx=np.arange(m),
+            features=np.asarray(r.standard_normal(
+                (m, cfg.num_clips, cfg.tokens_per_clip, cfg.mm_hidden_size)),
+                np.float32) * 0.5,
+            t2v_iv2=r.standard_normal((m, m)).astype(np.float32) + 0.01,
+            v2t_iv2=r.standard_normal((m, m)).astype(np.float32) + 0.01,
         )
 
     mesh = make_mesh()
@@ -429,7 +442,7 @@ def main():
         gc.collect()
         _drain_device()
         elapsed, flops, useful, t2v, v2t = run_flow(
-            engine, make_inputs(m), tok, dataset, args.topk,
+            engine, lambda t: make_inputs(m, t), tok, dataset, args.topk,
             not args.no_cpn, finetuned, args.naive, trials,
         )
         key = "candidate_likelihood" if finetuned else "query_likelihood"
