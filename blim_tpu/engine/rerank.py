@@ -199,6 +199,36 @@ def group_pairs_by_video(
     return g_vid, g_cap, rows[g_pos], cols[g_pos]
 
 
+def default_pack_sizes(suffix_width: int) -> Tuple[int, ...]:
+    """Default VTG pack-size grid (one lazily-compiled variant per size).
+
+    Step-64 from 64..768: the offline sweep (scripts/analyze_schedule.py
+    --sweep, 2026-08-18) measured the grids at the production caption-length
+    distribution — vs the old step-128 {128..768} grid, step-64 cuts total
+    dispatched FLOPs 3.3% zero-shot / 2.2% fine-tuned (pack_tail waste
+    7.5% -> ~4%), step-32 only ~1.2% more for double the compiled variants.
+    Configs with suffix widths beyond 768 get an extra 128-aligned size so
+    one full-budget caption always fits (build_packs asserts this).
+    """
+    top = -(-suffix_width // 128) * 128
+    return tuple(sorted(set(range(64, 769, 64)) | ({top} if top > 768 else set())))
+
+
+def default_tvg_pack_classes(prefix_len: int) -> Tuple[Tuple[int, int], ...]:
+    """Default TVG (size, max_queries) class table.
+
+    (128, 160) is query-bound — it carries the head-only CPN prior pass;
+    (256, 96) and (448, 160) are token-bound and carry the score pass's real
+    prefixes (the 448 step matches the head+caption length profile: the
+    offline sweep measured the 4-class table at 1.1% fewer dispatched FLOPs
+    than the 3-class one, and other tables — finer, higher qmax — at worse).
+    The top size must fit one full-budget caption prefix.
+    """
+    top_t = max(512, -(-prefix_len // 128) * 128)
+    base = ((128, 160), (256, 96), (448, 160))
+    return tuple(c for c in base if c[0] < top_t) + ((top_t, 160),)
+
+
 def build_packs(
     key_idx: np.ndarray,       # (n_pairs,) group key per pair (video / 0 for priors)
     cap_idx: np.ndarray,       # (n_pairs,) caption per pair
@@ -462,18 +492,13 @@ class RerankEngine:
             self._vtg_prior_packed_step_impl, static_argnames=("n_segments",)
         )
         # packed-suffix schedule: variable-length caption segments share rows.
-        # Classes above 512 matter because a pack never mixes videos and the
+        # Sizes above 512 matter because a pack never mixes videos and the
         # prefix forward (~341 tokens) is paid PER PACK: at topk=16 the mean
         # per-video load is ~487 tokens, so with a 512 cap a third of the
         # videos spill 1-2 captions into a tiny second pack that re-pays the
         # whole prefix (measured: useful-token fraction 0.81 -> 0.92 from
-        # adding {384, 640, 768}). Each size is one lazily-compiled variant.
-        # The largest size must also cover one full-budget caption — configs
-        # with suffix widths beyond 768 get an extra 128-aligned size instead
-        # of tripping build_packs' fits-assertion.
-        top = -(-vtg_layout.suffix_width // 128) * 128
-        self.pack_sizes = tuple(sorted(
-            {128, 256, 384, 512, 640, 768} | ({top} if top > 768 else set())))
+        # adding {384, 640, 768}). See default_pack_sizes for the grid sweep.
+        self.pack_sizes = default_pack_sizes(vtg_layout.suffix_width)
         # per-chip-step token budget for pack scheduling: G packs per step
         # with G ~ budget/(prefix+size). Bounds the pack KV + fp32 CE/score
         # transients next to the 7B (~400MB headroom on a v5e)
@@ -518,10 +543,9 @@ class RerankEngine:
             # per class. The (128, 160) class is query-bound — it carries the
             # CPN prior pass, whose per-caption prefix is just the ~17-token
             # instruction head; the larger classes are token-bound and carry
-            # the score pass's real prefixes. The top size must fit one
-            # full-budget caption prefix.
-            top_t = max(512, -(-P_full // 128) * 128)
-            self.tvg_pack_classes = ((128, 160), (256, 96), (top_t, 160))
+            # the score pass's real prefixes. See default_tvg_pack_classes
+            # for the class-table sweep.
+            self.tvg_pack_classes = default_tvg_pack_classes(P_full)
 
     # -- device-resident banks ------------------------------------------------
 

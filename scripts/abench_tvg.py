@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--classes", default="",
                     help="override TVG pack classes, e.g. '128:160,256:96,512:160'")
+    ap.add_argument("--sizes", default="",
+                    help="override VTG pack sizes, e.g. '128,256,384,512,640,768'")
+    ap.add_argument("--ab", type=int, default=0,
+                    help="alternate default knobs (A) vs the --sizes/--classes "
+                         "overrides (B) this many times per part, same engine, "
+                         "fresh pairs per round (phase-noise-proof A/B)")
     ap.add_argument("--budget", type=int, default=0,
                     help="override the per-step token budget (default keeps "
                          "the engine's 2200)")
@@ -88,11 +94,20 @@ def main():
     if args.budget:
         engine.pack_token_budget = args.budget
         print(f"# pack_token_budget override: {args.budget}")
+    knobs_a = (engine.pack_sizes, engine.tvg_pack_classes)
+    knobs_b = knobs_a
     if args.classes:
-        engine.tvg_pack_classes = tuple(
+        cls = tuple(
             tuple(int(x) for x in c.split(":")) for c in args.classes.split(",")
         )
-        print(f"# classes override: {engine.tvg_pack_classes}")
+        knobs_b = (knobs_b[0], cls)
+        print(f"# classes override: {cls}")
+    if args.sizes:
+        sizes = tuple(int(x) for x in args.sizes.split(","))
+        knobs_b = (sizes, knobs_b[1])
+        print(f"# sizes override: {sizes}")
+    if not args.ab:
+        engine.pack_sizes, engine.tvg_pack_classes = knobs_b
 
     vtg_bank = CaptionBank.build_vtg(captions, tok, "MSRVTT", layout)
     vtg_banks = engine.upload(vtg_bank, feats)
@@ -100,13 +115,17 @@ def main():
     tvg_banks = engine.upload(tvg_bank, feats, shared_feats=vtg_banks)
     vocab = jnp.asarray(vcf.make_video_vocab(feats), jnp.float32)
 
-    iv2_a = rng.standard_normal((n, n)).astype(np.float32)
-    iv2_b = rng.standard_normal((n, n)).astype(np.float32)
-    v_rows, v_cols = topk_pairs(iv2_b, args.topk)
-    t_rows, t_cols = topk_pairs(iv2_a, args.topk)
-    all_caps = np.concatenate([v_cols, t_rows])
-    all_vids = np.concatenate([np.arange(n)[v_rows], np.arange(n)[t_cols]])
-    u_cap, u_vid, _ = unique_pairs(all_caps, all_vids)
+    def make_pairs(seed):
+        prng = np.random.default_rng(seed)
+        iv2_a = prng.standard_normal((n, n)).astype(np.float32)
+        iv2_b = prng.standard_normal((n, n)).astype(np.float32)
+        v_rows, v_cols = topk_pairs(iv2_b, args.topk)
+        t_rows, t_cols = topk_pairs(iv2_a, args.topk)
+        all_caps = np.concatenate([v_cols, t_rows])
+        all_vids = np.concatenate([np.arange(n)[v_rows], np.arange(n)[t_cols]])
+        return unique_pairs(all_caps, all_vids)[:2]
+
+    u_cap, u_vid = make_pairs(0)
     print(f"# union pairs: {len(u_cap)}")
 
     peak = peak_flops_per_chip(jax.devices()[0]) or float("nan")
@@ -127,18 +146,45 @@ def main():
         return best
 
     fns = {
-        "vtg": ("vtg packed", lambda: engine.score_pairs_vtg_packed(
-            vtg_banks, u_cap, u_vid)),
-        "vtgprior": ("vtg priors", lambda: engine.compute_vtg_priors_packed(
+        "vtg": ("vtg packed", lambda uc, uv: engine.score_pairs_vtg_packed(
+            vtg_banks, uc, uv)),
+        "vtgprior": ("vtg priors", lambda uc, uv: engine.compute_vtg_priors_packed(
             vtg_banks)),
-        "tvg": ("tvg score", lambda: engine.score_pairs_tvg_packed(
-            tvg_banks, vocab, u_cap, u_vid, with_prior=False)),
-        "prior": ("tvg s+prior", lambda: engine.score_pairs_tvg_packed(
-            tvg_banks, vocab, u_cap, u_vid, with_prior=True)),
+        "tvg": ("tvg score", lambda uc, uv: engine.score_pairs_tvg_packed(
+            tvg_banks, vocab, uc, uv, with_prior=False)),
+        "prior": ("tvg s+prior", lambda uc, uv: engine.score_pairs_tvg_packed(
+            tvg_banks, vocab, uc, uv, with_prior=True)),
     }
+    if args.ab:
+        # alternate A (default knobs) and B (overrides) on the SAME engine,
+        # fresh pairs each round: phase drift hits both arms equally
+        for part in args.parts.split(","):
+            name, fn = fns[part]
+            for label, knobs in (("A", knobs_a), ("B", knobs_b)):
+                engine.pack_sizes, engine.tvg_pack_classes = knobs
+                fn(u_cap, u_vid)  # warmup/compile this arm's variants
+            times = {"A": [], "B": []}
+            for r in range(args.ab):
+                uc, uv = make_pairs(1000 + r)
+                for label, knobs in (("A", knobs_a), ("B", knobs_b)):
+                    engine.pack_sizes, engine.tvg_pack_classes = knobs
+                    engine.reset_flops()
+                    t0 = time.perf_counter()
+                    fn(uc, uv)
+                    dt = time.perf_counter() - t0
+                    mfu = engine.flops / dt / peak
+                    times[label].append(dt)
+                    print(f"{name:12s} round {r} {label}: {dt:7.2f}s  "
+                          f"{engine.flops / 1e12:8.1f} TF  mfu={mfu:.3f}",
+                          flush=True)
+            ma, mb = (sum(times[k]) / len(times[k]) for k in ("A", "B"))
+            print(f"{name:12s} A mean {ma:.2f}s  B mean {mb:.2f}s  "
+                  f"B/A {mb / ma:.3f}")
+        return
+
     for part in args.parts.split(","):   # run in the GIVEN order
         name, fn = fns[part]
-        run_part(name, fn)
+        run_part(name, lambda fn=fn: fn(u_cap, u_vid))
 
 
 if __name__ == "__main__":

@@ -45,6 +45,8 @@ from blim_tpu.engine.rerank import (
     CaptionBank,
     build_packs,
     build_tvg_packs,
+    default_pack_sizes,
+    default_tvg_pack_classes,
     topk_pairs,
     unique_pairs,
 )
@@ -292,19 +294,19 @@ def sweep(args, cfg, vtg_l, tvg_l):
     top_t = max(512, -(-P_full // 128) * 128)
 
     size_grids = {
-        "cur step128 {128..768}": tuple(sorted({128, 256, 384, 512, 640, 768} | extra)),
-        "step64 {64..768}": tuple(sorted(set(range(64, 769, 64)) | extra)),
+        "r2 step128 {128..768}": tuple(sorted({128, 256, 384, 512, 640, 768} | extra)),
+        "CUR step64 {64..768}": default_pack_sizes(vtg_l.suffix_width),
         "step32 {32..768}": tuple(sorted(set(range(32, 769, 32)) | extra)),
         "step64 {64..512}+{640,768}": tuple(sorted(set(range(64, 513, 64)) | {640, 768} | extra)),
     }
     class_sets = {
-        "cur ((128,160),(256,96),(512,160))": ((128, 160), (256, 96), (top_t, 160)),
+        "r2 ((128,160),(256,96),(512,160))": ((128, 160), (256, 96), (top_t, 160)),
+        "CUR (448,160) 4-class": default_tvg_pack_classes(P_full),
         "4cls +384": ((128, 160), (256, 96), (384, 128), (top_t, 160)),
         "qmax192": ((128, 192), (256, 128), (top_t, 192)),
         "qmax256 top640": ((128, 160), (256, 128), (384, 160), (640, 256)),
         "fine (128,64)(192,96)(256,128)(384,160)(512,192)":
             ((128, 64), (192, 96), (256, 128), (384, 160), (top_t, 192)),
-        "(448,160) head-friendly": ((128, 160), (256, 96), (448, 160), (top_t, 160)),
     }
 
     for label, m, finetuned in [("zero-shot", args.queries, False),
@@ -346,13 +348,10 @@ def main():
         sweep(args, cfg, vtg_l, tvg_l)
         return
 
-    # the engine's schedule knobs (keep in sync with RerankEngine.__init__)
-    top = -(-vtg_l.suffix_width // 128) * 128
-    pack_sizes = tuple(sorted({128, 256, 384, 512, 640, 768} | ({top} if top > 768 else set())))
+    # the engine's schedule knobs (single source of truth in rerank.py)
+    pack_sizes = default_pack_sizes(vtg_l.suffix_width)
     token_budget = 2200
-    P_full = tvg_l.prefix_len
-    top_t = max(512, -(-P_full // 128) * 128)
-    tvg_classes = ((128, 160), (256, 96), (top_t, 160))
+    tvg_classes = default_tvg_pack_classes(tvg_l.prefix_len)
 
     for label, m, finetuned in [("zero-shot", args.queries, False),
                                 ("fine-tuned", args.finetuned_queries, True)]:
@@ -364,7 +363,7 @@ def main():
               f"{np.median(vtg_lens):.0f})")
         if finetuned:
             print(f"  TVG prefix lens: median {np.median(tvg_lens):.0f}, "
-                  f"head {tvg_l.tvg_prefix_length}, P_full {P_full}")
+                  f"head {tvg_l.tvg_prefix_length}, P_full {tvg_l.prefix_len}")
         disp, use, _ = flow_totals(cfg, vtg_l, tvg_l, wl, finetuned,
                                    pack_sizes, tvg_classes, token_budget, label)
         print(f"\n  {label} TOTAL: dispatched {disp/1e12:.1f} TF, useful "
