@@ -214,6 +214,18 @@ def default_pack_sizes(suffix_width: int) -> Tuple[int, ...]:
     return tuple(sorted(set(range(64, 769, 64)) | ({top} if top > 768 else set())))
 
 
+def default_tvg_q_buckets(classes: Tuple[Tuple[int, int], ...]) -> Tuple[int, ...]:
+    """Decoupled query-capacity grid for build_tvg_packs (step-32 up to the
+    class table's qmax). Pack token load and query count are anti-correlated,
+    so the coupled table pads token-bound packs to the class qmax; the offline
+    sweep (scripts/analyze_schedule.py --sweep, 2026-08-18, with the prior
+    dedup in place) measured step-32 at -1.9% total fine-tuned dispatched
+    FLOPs vs coupled, while step-16/step-8 LOSE it back to per-(size, qcap)
+    G-batch padding fragmentation."""
+    qmax = max(q for _s, q in classes)
+    return tuple(sorted(set(range(32, qmax, 32)) | {qmax}))
+
+
 def default_tvg_pack_classes(prefix_len: int) -> Tuple[Tuple[int, int], ...]:
     """Default TVG (size, max_queries) class table.
 
@@ -282,6 +294,7 @@ def build_tvg_packs(
     vid_idx: np.ndarray,       # (n_pairs,) vocab-video per pair
     seg_lens: np.ndarray,      # (n_captions,) prefix tokens per caption segment
     classes: Tuple[Tuple[int, int], ...],   # ((size, max_queries), ...) ascending
+    q_buckets: Optional[Tuple[int, ...]] = None,  # decoupled qcap grid
 ):
     """Pack caption PREFIXES back-to-back into fixed-size rows, with a flat
     per-pack query list (one query per (caption, candidate-video) pair).
@@ -292,6 +305,14 @@ def build_tvg_packs(
     the token load (sum of segment lengths <= size) and the flat query count
     (<= max_queries). Greedy first-fit in caption order; a caption with more
     candidates than max_queries splits into several segments.
+
+    With `q_buckets`, the size and query-capacity axes classify independently
+    (smallest class size covering the token load x smallest bucket covering
+    the query count) instead of jointly via the class table — pack token load
+    and query count are anti-correlated (long prefixes mean few captions per
+    pack mean few queries), so coupled classes force token-bound packs to pad
+    the query axis to the class qmax. Greedy still packs to the LARGEST
+    class's bounds either way. q_buckets[-1] must be >= classes[-1][1].
 
     Returns [(size, max_queries, [pack, ...])] grouped by class, largest size
     first, where pack = [(cap, vids (k,), pair_positions (k,)), ...].
@@ -323,7 +344,12 @@ def build_tvg_packs(
         packs.append((segs, load, nq))
     out: Dict[Tuple[int, int], list] = {}
     for segs, load, nq in packs:
-        size, qcap = next((s, qq) for s, qq in classes if s >= load and qq >= nq)
+        if q_buckets is None:
+            size, qcap = next(
+                (s, qq) for s, qq in classes if s >= load and qq >= nq)
+        else:
+            size = next(s for s, _ in classes if s >= load)
+            qcap = next(q for q in q_buckets if q >= nq)
         out.setdefault((size, qcap), []).append(segs)
     return [(size, qcap, out[(size, qcap)])
             for size, qcap in sorted(out, reverse=True)]
@@ -546,6 +572,13 @@ class RerankEngine:
             # the score pass's real prefixes. See default_tvg_pack_classes
             # for the class-table sweep.
             self.tvg_pack_classes = default_tvg_pack_classes(P_full)
+            # decoupled query-capacity buckets (build_tvg_packs q_buckets);
+            # None falls back to the coupled class-table classification
+            self.tvg_q_buckets: Optional[Tuple[int, ...]] = (
+                default_tvg_q_buckets(self.tvg_pack_classes))
+            # kill-switch for the (length, video) prior dedup — A/B hook;
+            # scores are bit-identical either way (tests/test_shared_prefix_tvg.py)
+            self.tvg_prior_dedup: bool = True
 
     # -- device-resident banks ------------------------------------------------
 
@@ -972,7 +1005,7 @@ class RerankEngine:
             banks, cap_idx, vid_idx, int(video_vocab.shape[0]), with_prior)
         gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
         scores = np.zeros(len(cap_idx), np.float32)
-        priors = np.zeros(len(cap_idx), np.float32) if with_prior else None
+        priors = None  # (re)allocated at the deduped size below
         llm = self.config.llm
         W = self.config.num_clips
         V = int(video_vocab.shape[0])
@@ -989,9 +1022,10 @@ class RerankEngine:
         first_ids, tvg_embeds = banks["first_ids"], banks["tvg_embeds"]
         pending = []
 
-        def run_pass(out_vec, seg_lens_eff, head_len, cpn):
+        def run_pass(out_vec, p_cap, p_vid, seg_lens_eff, head_len, cpn):
             for size, qn, packs in build_tvg_packs(
-                cap_idx, vid_idx, seg_lens_eff, self.tvg_pack_classes
+                p_cap, p_vid, seg_lens_eff, self.tvg_pack_classes,
+                q_buckets=self.tvg_q_buckets,
             ):
                 lo, hi = self._process_shard(len(packs))
                 packs = packs[lo:hi]
@@ -1024,9 +1058,33 @@ class RerankEngine:
                         (out_vec, [rows[i][6] for i in sl[:n_real]], out)
                     )
 
-        run_pass(scores, lens, None, False)
+        run_pass(scores, cap_idx, vid_idx, lens, None, False)
+        prior_inv = None
         if with_prior:
-            run_pass(priors, np.full(len(lens), hl, np.int32), hl, True)
+            # The prior's head tokens are identical for every caption; a
+            # caption enters the prior score ONLY through positions, which the
+            # left-padded layout derives from its prefix LENGTH (head keys at
+            # P_full-L..P_full-L+hl-1, clip queries at fixed suffix slots).
+            # So prior(c, v) == prior(len(c), v): dedup the pair list by
+            # (length, video) and run one representative caption per length —
+            # 2-3x fewer prior queries and ~n_lengths (not n_captions) head
+            # segments at the bench's length profile.
+            if self.tvg_prior_dedup:
+                lenk = lens[cap_idx].astype(np.int64)
+                uk, prior_inv = np.unique(
+                    np.stack([lenk, vid_idx.astype(np.int64)], axis=1),
+                    axis=0, return_inverse=True)
+                rep_for_len: Dict[int, int] = {}
+                for c in np.unique(cap_idx):
+                    rep_for_len.setdefault(int(lens[c]), int(c))
+                p_cap = np.array([rep_for_len[int(L)] for L, _v in uk], np.int64)
+                p_vid = uk[:, 1]
+            else:
+                p_cap, p_vid = cap_idx, vid_idx
+                prior_inv = np.arange(len(cap_idx))
+            priors = np.zeros(len(p_cap), np.float32)
+            run_pass(priors, p_cap, p_vid,
+                     np.full(len(lens), hl, np.int32), hl, True)
 
         def finalize():
             nonlocal scores, priors
@@ -1036,7 +1094,7 @@ class RerankEngine:
                     vec[pps] = out[gi, : len(pps)]
             scores = self._allreduce_scores(scores)
             if with_prior:
-                priors = self._allreduce_scores(priors)
+                priors = self._allreduce_scores(priors)[prior_inv]
             return scores, priors
 
         if deferred:
@@ -1225,12 +1283,20 @@ class RerankEngine:
             llm, w_arr, lens[cap_idx], lm_positions_per_suffix=0.0)
         u += flops_lib.tvg_head_flops(self.config, n * W, vocab_videos)
         if with_prior:
+            # prior(c, v) == prior(len(c), v) (see score_pairs_tvg_packed):
+            # the zero-waste prior is one head prefix per DISTINCT LENGTH and
+            # one W-token query per unique (length, video) pair
             hl = self.tvg_layout.tvg_prefix_length
+            u_lens = np.unique(lens[u_caps])
+            n_u = len(np.unique(np.stack(
+                [lens[cap_idx].astype(np.int64),
+                 np.asarray(vid_idx, np.int64)], axis=1), axis=0))
             u += flops_lib.prefix_forward_flops_varlen(
-                llm, np.minimum(lens[u_caps], hl))
+                llm, np.minimum(u_lens, hl))
             u += flops_lib.suffix_forward_flops_varlen(
-                llm, w_arr, float(hl), lm_positions_per_suffix=0.0)
-            u += flops_lib.tvg_head_flops(self.config, n * W, vocab_videos)
+                llm, np.full(n_u, W, np.float64), float(hl),
+                lm_positions_per_suffix=0.0)
+            u += flops_lib.tvg_head_flops(self.config, n_u * W, vocab_videos)
         return u
 
     @staticmethod

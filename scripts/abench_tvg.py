@@ -30,9 +30,14 @@ def main():
     ap.add_argument("--sizes", default="",
                     help="override VTG pack sizes, e.g. '128,256,384,512,640,768'")
     ap.add_argument("--ab", type=int, default=0,
-                    help="alternate default knobs (A) vs the --sizes/--classes "
-                         "overrides (B) this many times per part, same engine, "
-                         "fresh pairs per round (phase-noise-proof A/B)")
+                    help="alternate default knobs (A) vs the --sizes/--classes/"
+                         "--no-qbuckets/--no-dedup overrides (B) this many "
+                         "times per part, same engine, fresh pairs per round "
+                         "(phase-noise-proof A/B)")
+    ap.add_argument("--no-qbuckets", action="store_true",
+                    help="B arm: coupled class-table classification")
+    ap.add_argument("--no-dedup", action="store_true",
+                    help="B arm: disable the (length, video) TVG prior dedup")
     ap.add_argument("--budget", type=int, default=0,
                     help="override the per-step token budget (default keeps "
                          "the engine's 2200)")
@@ -94,20 +99,31 @@ def main():
     if args.budget:
         engine.pack_token_budget = args.budget
         print(f"# pack_token_budget override: {args.budget}")
-    knobs_a = (engine.pack_sizes, engine.tvg_pack_classes)
+    def set_knobs(k):
+        (engine.pack_sizes, engine.tvg_pack_classes,
+         engine.tvg_q_buckets, engine.tvg_prior_dedup) = k
+
+    knobs_a = (engine.pack_sizes, engine.tvg_pack_classes,
+               engine.tvg_q_buckets, engine.tvg_prior_dedup)
     knobs_b = knobs_a
     if args.classes:
         cls = tuple(
             tuple(int(x) for x in c.split(":")) for c in args.classes.split(",")
         )
-        knobs_b = (knobs_b[0], cls)
+        knobs_b = (knobs_b[0], cls, knobs_b[2], knobs_b[3])
         print(f"# classes override: {cls}")
     if args.sizes:
         sizes = tuple(int(x) for x in args.sizes.split(","))
-        knobs_b = (sizes, knobs_b[1])
+        knobs_b = (sizes, knobs_b[1], knobs_b[2], knobs_b[3])
         print(f"# sizes override: {sizes}")
+    if args.no_qbuckets:
+        knobs_b = (knobs_b[0], knobs_b[1], None, knobs_b[3])
+        print("# B arm: coupled classification (no q_buckets)")
+    if args.no_dedup:
+        knobs_b = (knobs_b[0], knobs_b[1], knobs_b[2], False)
+        print("# B arm: prior dedup OFF")
     if not args.ab:
-        engine.pack_sizes, engine.tvg_pack_classes = knobs_b
+        set_knobs(knobs_b)
 
     vtg_bank = CaptionBank.build_vtg(captions, tok, "MSRVTT", layout)
     vtg_banks = engine.upload(vtg_bank, feats)
@@ -161,13 +177,13 @@ def main():
         for part in args.parts.split(","):
             name, fn = fns[part]
             for label, knobs in (("A", knobs_a), ("B", knobs_b)):
-                engine.pack_sizes, engine.tvg_pack_classes = knobs
+                set_knobs(knobs)
                 fn(u_cap, u_vid)  # warmup/compile this arm's variants
             times = {"A": [], "B": []}
             for r in range(args.ab):
                 uc, uv = make_pairs(1000 + r)
                 for label, knobs in (("A", knobs_a), ("B", knobs_b)):
-                    engine.pack_sizes, engine.tvg_pack_classes = knobs
+                    set_knobs(knobs)
                     engine.reset_flops()
                     t0 = time.perf_counter()
                     fn(uc, uv)

@@ -47,6 +47,7 @@ from blim_tpu.engine.rerank import (
     build_tvg_packs,
     default_pack_sizes,
     default_tvg_pack_classes,
+    default_tvg_q_buckets,
     topk_pairs,
     unique_pairs,
 )
@@ -156,7 +157,8 @@ def analyze_vtg_packed(cfg, layout, lens, cap_idx, vid_idx, pack_sizes,
 
 
 def analyze_tvg_packed(cfg, layout, lens, cap_idx, vid_idx, classes,
-                       token_budget, vocab_videos, name, head_len=None):
+                       token_budget, vocab_videos, name, head_len=None,
+                       q_buckets=None):
     """Mirror score_pairs_tvg_packed's run_pass accounting (one pass)."""
     llm = cfg.llm
     W = cfg.num_clips
@@ -183,7 +185,8 @@ def analyze_tvg_packed(cfg, layout, lens, cap_idx, vid_idx, classes,
     useful_prefix_tokens = (np.minimum(lens[u_caps], hl).sum() if head_len is not None
                             else lens[u_caps].sum())
     seg_tokens_total = 0.0
-    for size, qn, packs in build_tvg_packs(cap_idx, vid_idx, eff, classes):
+    for size, qn, packs in build_tvg_packs(cap_idx, vid_idx, eff, classes,
+                                           q_buckets=q_buckets):
         m = len(packs)
         G = max(1, min(token_budget // (size + qn * W), 8))
         m_pad = -(-m // G) * G
@@ -256,7 +259,7 @@ def build_workload(args, cfg, vtg_l, tvg_l, m, finetuned):
 
 
 def flow_totals(cfg, vtg_l, tvg_l, wl, finetuned, pack_sizes, tvg_classes,
-                token_budget, label=""):
+                token_budget, label="", q_buckets=None):
     vtg_lens, tvg_lens, u_cap, u_vid = wl
     m = None
     reports = [
@@ -268,14 +271,25 @@ def flow_totals(cfg, vtg_l, tvg_l, wl, finetuned, pack_sizes, tvg_classes,
     ]
     if finetuned:
         m = int(u_vid.max()) + 1
+        # engine-identical prior dedup: prior(c, v) == prior(len(c), v),
+        # one representative caption per distinct prefix length
+        lenk = tvg_lens[u_cap].astype(np.int64)
+        uk = np.unique(np.stack([lenk, u_vid.astype(np.int64)], axis=1), axis=0)
+        rep_for_len = {}
+        for c in np.unique(u_cap):
+            rep_for_len.setdefault(int(tvg_lens[c]), int(c))
+        p_cap = np.array([rep_for_len[int(L)] for L, _v in uk], np.int64)
+        p_vid = uk[:, 1]
         reports += [
             analyze_tvg_packed(cfg, tvg_l, tvg_lens, u_cap, u_vid,
                                tvg_classes, token_budget, m,
-                               f"{label} TVG score (packed)"),
-            analyze_tvg_packed(cfg, tvg_l, tvg_lens, u_cap, u_vid,
+                               f"{label} TVG score (packed)",
+                               q_buckets=q_buckets),
+            analyze_tvg_packed(cfg, tvg_l, tvg_lens, p_cap, p_vid,
                                tvg_classes, token_budget, m,
-                               f"{label} TVG prior (packed, head-only)",
-                               head_len=tvg_l.tvg_prefix_length),
+                               f"{label} TVG prior (packed, head-only, deduped)",
+                               head_len=tvg_l.tvg_prefix_length,
+                               q_buckets=q_buckets),
         ]
     disp = sum(r.dispatched for r in reports)
     use = sum(r.useful for r in reports)
@@ -309,6 +323,20 @@ def sweep(args, cfg, vtg_l, tvg_l):
             ((128, 64), (192, 96), (256, 128), (384, 160), (top_t, 192)),
     }
 
+    # decoupled (size x qcap) classification: sizes from the class table,
+    # qcap from an independent bucket grid (see build_tvg_packs q_buckets)
+    cur_cls = default_tvg_pack_classes(P_full)
+    fine_sizes = tuple(
+        (s, 160) for s in sorted({64, 128, 192, 256, 320, 384, 448} | {top_t})
+        if s <= top_t)
+    qbucket_sets = {
+        "coupled (None)": (cur_cls, None),
+        "q{32..160 step32}": (cur_cls, (32, 64, 96, 128, 160)),
+        "q{16..160 step16}": (cur_cls, tuple(range(16, 161, 16))),
+        "sizes64 q{16..160 step16}": (fine_sizes, tuple(range(16, 161, 16))),
+        "sizes64 q{8..160 step8}": (fine_sizes, tuple(range(8, 161, 8))),
+    }
+
     for label, m, finetuned in [("zero-shot", args.queries, False),
                                 ("fine-tuned", args.finetuned_queries, True)]:
         wl = build_workload(args, cfg, vtg_l, tvg_l, m, finetuned)
@@ -324,6 +352,16 @@ def sweep(args, cfg, vtg_l, tvg_l):
                 print(f"  sizes[{gname:<28}] classes[{cname:<44}] "
                       f"disp {disp/1e12:8.1f} TF  frac {use/disp:.3f}  "
                       f"vs cur {disp/base:6.3f}")
+        if not finetuned:
+            continue
+        cur_sizes = default_pack_sizes(vtg_l.suffix_width)
+        for qname, (cls, qb) in qbucket_sets.items():
+            disp, use, _ = flow_totals(cfg, vtg_l, tvg_l, wl, finetuned,
+                                       cur_sizes, cls, token_budget,
+                                       q_buckets=qb)
+            print(f"  sizes[{'CUR step64':<28}] qbuckets[{qname:<43}] "
+                  f"disp {disp/1e12:8.1f} TF  frac {use/disp:.3f}  "
+                  f"vs cur {disp/base:6.3f}")
 
 
 def main():
@@ -352,6 +390,7 @@ def main():
     pack_sizes = default_pack_sizes(vtg_l.suffix_width)
     token_budget = 2200
     tvg_classes = default_tvg_pack_classes(tvg_l.prefix_len)
+    q_buckets = default_tvg_q_buckets(tvg_classes)
 
     for label, m, finetuned in [("zero-shot", args.queries, False),
                                 ("fine-tuned", args.finetuned_queries, True)]:
@@ -365,7 +404,8 @@ def main():
             print(f"  TVG prefix lens: median {np.median(tvg_lens):.0f}, "
                   f"head {tvg_l.tvg_prefix_length}, P_full {tvg_l.prefix_len}")
         disp, use, _ = flow_totals(cfg, vtg_l, tvg_l, wl, finetuned,
-                                   pack_sizes, tvg_classes, token_budget, label)
+                                   pack_sizes, tvg_classes, token_budget, label,
+                                   q_buckets=q_buckets)
         print(f"\n  {label} TOTAL: dispatched {disp/1e12:.1f} TF, useful "
               f"{use/1e12:.1f} TF, fraction {use/disp:.3f}")
 

@@ -93,3 +93,34 @@ def test_tvg_class_assignment_prefers_smallest_fit():
                 if (s2, q2) == (size, qcap):
                     break
                 assert not (s2 >= load and q2 >= nq), (size, qcap, s2, q2)
+
+
+def test_default_q_buckets():
+    from blim_tpu.engine.rerank import default_tvg_q_buckets
+
+    cls = default_tvg_pack_classes(512)
+    assert default_tvg_q_buckets(cls) == (32, 64, 96, 128, 160)
+    # non-multiple qmax still terminates the grid exactly at qmax
+    assert default_tvg_q_buckets(((128, 100),)) == (32, 64, 96, 100)
+
+
+def test_decoupled_q_buckets_classification():
+    """With q_buckets, a pack's size covers its token load and its qcap is
+    the smallest bucket covering its query count — independently."""
+    rng = np.random.default_rng(2)
+    n_caps, k = 80, 16
+    prefix_lens = (_bench_like_lengths(rng, n_caps) + 17).astype(np.int32)
+    cap_idx = np.repeat(np.arange(n_caps), k)
+    vid_idx = rng.integers(0, 300, size=n_caps * k).astype(np.int32)
+    classes = default_tvg_pack_classes(512)
+    qb = (32, 64, 96, 128, 160)
+    sizes = [s for s, _ in classes]
+    for size, qcap, packs in build_tvg_packs(cap_idx, vid_idx, prefix_lens,
+                                             classes, q_buckets=qb):
+        assert qcap in qb
+        for segs in packs:
+            load = sum(int(prefix_lens[c]) for c, _v, _p in segs)
+            nq = sum(len(v) for _c, v, _p in segs)
+            assert load <= size and nq <= qcap
+            assert not any(s >= load and s < size for s in sizes)
+            assert not any(q >= nq and q < qcap for q in qb)

@@ -141,3 +141,23 @@ def test_tvg_pack_builder_budgets():
                 np.testing.assert_array_equal(vids[pps], v)
                 seen[pps] += 1
     np.testing.assert_array_equal(seen, 1)
+
+def test_tvg_prior_dedup_toggle_identical(setup):
+    """prior(c, v) == prior(len(c), v): the (length, video) dedup must return
+    bit-identical priors to the undeduped pass (CAPTIONS has same-length
+    pairs, so the dedup genuinely merges here)."""
+    engine, banks, vocab, rows, cols = setup
+    lens = banks["prefix_len_host"]
+    assert len(np.unique(lens)) < N, "fixture must contain length collisions"
+    assert engine.tvg_prior_dedup
+    _, pri_dedup = engine.score_pairs_tvg_packed(
+        banks, vocab, cap_idx=rows, vid_idx=cols, with_prior=True,
+    )
+    engine.tvg_prior_dedup = False
+    try:
+        _, pri_full = engine.score_pairs_tvg_packed(
+            banks, vocab, cap_idx=rows, vid_idx=cols, with_prior=True,
+        )
+    finally:
+        engine.tvg_prior_dedup = True
+    np.testing.assert_array_equal(pri_dedup, pri_full)
