@@ -410,14 +410,18 @@ def main():
 
     def measure(finetuned, m, trials):
         engine = build_engine(finetuned, m)
-        # warmup/compile at a size whose pack-class mix covers the measured
-        # run: a 32-item warmup left the {384..768} VTG pack classes and the
-        # larger TVG classes uncompiled, and their remote compiles landed in
-        # trial 0 (+38s reproducible). DIFFERENT data than the trials — the
-        # tunnel result-caches identical (executable, inputs) pairs — from a
-        # separate rng stream; width-bucket sentinel captions still cover
-        # every suffix bucket (bucket-specific compiles/OOMs surface here).
-        nw = min(m, 192)
+        # warmup/compile at the trial's EXACT item count: the packed steps
+        # take whole bank arrays (feats (V,...), first_ids/tvg_embeds
+        # (n_caps,...)) as jit inputs, so bank shape is part of the compile
+        # key and a warmup at a different size compiles executables the
+        # trial can never reuse (2026-08-18: a 192-item warmup before a
+        # 256-query fine-tuned trial left EVERY step to remote-compile in
+        # the measured trial: 131.9s vs 46.2s cache-warm). DIFFERENT data
+        # than the trials — the tunnel result-caches identical
+        # (executable, inputs) pairs — from a separate rng stream;
+        # width-bucket sentinel captions still cover every suffix bucket
+        # (bucket-specific compiles/OOMs surface here).
+        nw = m
         wrng = np.random.default_rng(args.seed + 7919)
         warm_caps = make_captions(nw, wrng, args.caption_tokens)
         for j, length in enumerate(b - 2 for b in engine.suffix_buckets):
@@ -492,7 +496,10 @@ def main():
 
     if not primary_finetuned and not args.skip_finetuned_line and not args.tiny:
         m2 = min(args.finetuned_queries, n)
-        qps2, mfu2, flops2, elapsed2, useful_mfu2, useful_frac2 = measure(True, m2, 1)
+        # best-of-2 like the primary: a single trial eats any residual
+        # compile/phase hiccup straight into the headline number
+        qps2, mfu2, flops2, elapsed2, useful_mfu2, useful_frac2 = measure(
+            True, m2, max(args.trials, 2) if not args.tiny else 1)
         line2 = {
             "metric": "msrvtt_finetuned_rerank_queries_per_sec_per_chip",
             "value": round(qps2, 4),

@@ -582,12 +582,27 @@ class RerankEngine:
 
     # -- device-resident banks ------------------------------------------------
 
+    # Tunnel flow control blocks the HOST on single puts somewhere between 64
+    # and 96 MiB (2026-08-18 probe: <=64MiB puts always enqueue in ~0.1s;
+    # 96-128MiB puts block up to ~10s in cold phases). Split big banks into
+    # row chunks under the threshold so the enqueue is phase-independent; the
+    # on-device concatenate is itself an async dispatch.
+    big_put_chunk_bytes: int = 48 * 2**20
+
     def _put_replicated(self, x, big: bool = False):
         """Replicated device_put. `big=True` routes through the fast
         Device-target wire path + on-device identity-jit reshard (see
         __init__._one_device) — host->NamedSharding puts of 100MB+ arrays
         block ~10s through the tunnel; this enqueues in ~0.2s."""
         if big and self._one_device is not None:
+            nbytes = x.size * x.dtype.itemsize
+            if nbytes > self.big_put_chunk_bytes and x.shape[0] > 1:
+                rows = max(1, int(self.big_put_chunk_bytes // (nbytes // x.shape[0])))
+                parts = [
+                    jax.device_put(x[i : i + rows], self._one_device)
+                    for i in range(0, x.shape[0], rows)
+                ]
+                return self._reshard(jnp.concatenate(parts, axis=0))
             return self._reshard(jax.device_put(x, self._one_device))
         return jax.device_put(x, self._replicated)
 

@@ -87,6 +87,25 @@ def test_flush_feats_idempotent_and_noop_without_pending(setup):
     assert "feats_host" in sbanks
 
 
+def test_chunked_big_put_matches_direct(setup):
+    """Arrays above big_put_chunk_bytes ship as row chunks (each under the
+    tunnel's host-blocking flow-control threshold) and are concatenated on
+    device; contents and sharding must match the unchunked path."""
+    cfg, params, feats, layout, bank = setup
+    mesh = make_mesh(devices=jax.devices()[:1])
+    engine = RerankEngine(params, cfg, layout, None, mesh, batch_size=3)
+    direct = np.asarray(engine._put_replicated(feats, big=True))
+    engine.big_put_chunk_bytes = feats.nbytes // 3  # force ~4 chunks
+    chunked_arr = engine._put_replicated(feats, big=True)
+    assert set(chunked_arr.sharding.device_set) == {mesh.devices.flat[0]}
+    np.testing.assert_array_equal(np.asarray(chunked_arr), direct)
+    # ragged tail: rows not divisible by the chunk row count
+    odd = feats[: feats.shape[0] - 1]
+    np.testing.assert_array_equal(
+        np.asarray(engine._put_replicated(odd, big=True)), direct[: odd.shape[0]]
+    )
+
+
 def test_deferred_priors_match_immediate(setup):
     cfg, params, feats, layout, bank = setup
     mesh = make_mesh(devices=jax.devices()[:2])
