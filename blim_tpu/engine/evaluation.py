@@ -51,26 +51,40 @@ def evaluation(
     verbose: bool = True,
     shared_prefix: bool = True,
     packed: bool = True,
+    timings: Dict[str, float] | None = None,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     t_start = time.time()
     n = len(inputs.captions)
     item_vid = np.asarray(inputs.item_video_idx)
 
+    def mark(name: str) -> None:
+        # wall-clock milestones since t_start; dispatch marks measure host
+        # blocking (the step itself drains async), sync marks measure the
+        # wait for results. Cheap enough to leave on in production.
+        if timings is not None:
+            timings[name] = time.time() - t_start
+
     vtg_bank = CaptionBank.build_vtg(inputs.captions, tokenizer, dataset, engine.vtg_layout)
+    mark("build_vtg")
     # defer the feature-bank wire transfer: the tunnel is one FIFO wire, so
     # a big put here would serialize ahead of every scoring request. The
     # feature-INDEPENDENT CPN prior pass dispatches first (deferred), then
     # flush_feats streams the bank while the device chews priors.
     vtg_banks = engine.upload(vtg_bank, inputs.features, defer_feats=shared_prefix)
+    mark("upload_vtg")
     prior_fin = None
     if shared_prefix and cpn and packed:
         # the CPN prior is feature-independent (text-only prefix)
         prior_fin = engine.compute_vtg_priors_packed(vtg_banks, deferred=True)
+        mark("prior_dispatch")
     engine.flush_feats(vtg_banks)
+    mark("flush_feats")
     if has_tvg:
         tvg_bank = CaptionBank.build_tvg(inputs.captions, tokenizer, engine.tvg_layout)
         tvg_banks = engine.upload(tvg_bank, inputs.features, shared_feats=vtg_banks)
+        mark("upload_tvg")
         video_vocab = jnp.asarray(make_video_vocab(inputs.features), jnp.float32)
+        mark("video_vocab")
 
     t2v_dict: Dict[str, np.ndarray] = {}
     v2t_dict: Dict[str, np.ndarray] = {}
@@ -106,6 +120,7 @@ def evaluation(
                     tvg_banks, video_vocab, u_cap, u_vid, with_prior=cpn,
                     deferred=True,
                 )
+                mark("tvg_dispatch")
             else:
                 tscores, tpriors = engine.score_pairs_tvg_shared(
                     tvg_banks, video_vocab, u_cap, u_vid, 2 * topk, with_prior=cpn
@@ -115,8 +130,25 @@ def evaluation(
         # in its own v2t row AND ~topk queries' t2v lists). Default: packed
         # variable-length suffixes (varlen, ~40% fewer dispatched tokens);
         # packed=False keeps the bucketed (K, W) rectangle schedule.
+        prior = None
         if packed:
-            scores = engine.score_pairs_vtg_packed(vtg_banks, u_cap, u_vid)
+            vtg_fin = engine.score_pairs_vtg_packed(
+                vtg_banks, u_cap, u_vid, deferred=True)
+            mark("vtg_dispatch")
+            # the TVG + prior steps were dispatched AHEAD of VTG, so their
+            # buffers materialize while the device still drains VTG compute:
+            # fetching them first rides those tunnel roundtrips (~25ms each,
+            # one per step) under the VTG drain instead of paying them as a
+            # serial tail after it
+            if tvg_fin is not None:
+                tscores, tpriors = tvg_fin()
+                tvg_fin = None
+                mark("tvg_done")
+            if cpn and prior_fin is not None:
+                prior = prior_fin()
+                mark("prior_done")
+            scores = vtg_fin()
+            mark("vtg_done")
         else:
             scores = engine.score_pairs_vtg_shared(vtg_banks, u_cap, u_vid, 2 * topk)
         cand = np.full((n, n), fill, np.float32)
@@ -129,6 +161,7 @@ def evaluation(
         if has_tvg:
             if tvg_fin is not None:
                 tscores, tpriors = tvg_fin()
+                mark("tvg_done")
             vq = np.full((n, n), fill, np.float32)
             vq[v_rows, v_cols] = tscores[inv[:n1]]
             tc = np.full((n, n), fill, np.float32)
@@ -140,8 +173,10 @@ def evaluation(
                 tp[t_rows, t_cols] = tpriors[inv[n1:]]
                 t2v_dict["candidate_prior"] = tp
         if cpn:
-            prior = (prior_fin() if prior_fin is not None
-                     else engine.compute_vtg_priors(vtg_banks))
+            if prior is None:  # not already consumed under the VTG drain
+                prior = (prior_fin() if prior_fin is not None
+                         else engine.compute_vtg_priors(vtg_banks))
+                mark("prior_done")
             pmat = np.full((n, n), fill, np.float32)
             pmat[v_rows, v_cols] = prior[v_cols]
             v2t_dict["candidate_prior"] = pmat
@@ -180,6 +215,7 @@ def evaluation(
     v2t_dict["internvideo2"] = np.asarray(inputs.v2t_iv2, np.float32)
     t2v_dict["internvideo2"] = np.asarray(inputs.t2v_iv2, np.float32)
 
+    mark("total")
     if verbose:
         print(f"Evaluation time {time.time() - t_start:.1f}s")
     return t2v_dict, v2t_dict

@@ -1055,23 +1055,24 @@ class RerankEngine:
                 G = max(1, min(self.pack_token_budget // (size + qn * W), 8))
                 G *= self.n_data
                 m = len(packs)
-                m_pad = -(-m // G) * G
-                sel = np.concatenate([np.arange(m), np.zeros(m_pad - m, np.int64)])
-                for s in range(0, m_pad, G):
-                    sl = sel[s : s + G]
+                s = 0
+                for g in self._batch_plan(m, G):
+                    n_real = min(g, m - s)
+                    sl = np.concatenate(
+                        [np.arange(s, s + n_real), np.zeros(g - n_real, np.int64)])
                     arrs = [np.stack([rows[i][j] for i in sl]) for j in range(6)]
                     dev = [jax.device_put(a, gs2) for a in arrs]
                     out = self._tvg_packed_step(
                         self.params, self.lora, first_ids, tvg_embeds,
                         video_vocab, *dev, cpn=cpn,
                     )
-                    self.flops += flops_lib.packed_prefix_kv_flops(llm, G, size)
-                    self.flops += flops_lib.flat_query_suffix_flops(llm, G * qn, W, size)
-                    self.flops += flops_lib.tvg_head_flops(self.config, G * qn * W, V)
-                    n_real = min(G, m - s)
+                    self.flops += flops_lib.packed_prefix_kv_flops(llm, g, size)
+                    self.flops += flops_lib.flat_query_suffix_flops(llm, g * qn, W, size)
+                    self.flops += flops_lib.tvg_head_flops(self.config, g * qn * W, V)
                     pending.append(
                         (out_vec, [rows[i][6] for i in sl[:n_real]], out)
                     )
+                    s += n_real
 
         run_pass(scores, cap_idx, vid_idx, lens, None, False)
         prior_inv = None
@@ -1512,13 +1513,16 @@ class RerankEngine:
         banks: Dict[str, jax.Array],
         cap_idx: np.ndarray,
         vid_idx: np.ndarray,
-    ) -> np.ndarray:
+        deferred: bool = False,
+    ):
         """Packed-suffix VTG scores for a flat pair list -> (n,) in input
-        order. Each pack = one video's candidate captions back-to-back
-        (segment ids), replacing both the k-buckets and the width buckets
-        of the rectangle schedule: ~40% fewer dispatched tokens at the
-        production caption-length distribution, and 3 compiled variants
-        instead of 11."""
+        order; with `deferred=True`, a zero-arg finalize() returning it
+        (steps already dispatched — the caller can fetch OTHER passes'
+        ready buffers while the device drains this one). Each pack = one
+        video's candidate captions back-to-back (segment ids), replacing
+        both the k-buckets and the width buckets of the rectangle schedule:
+        ~40% fewer dispatched tokens at the production caption-length
+        distribution, and 3 compiled variants instead of 11."""
         self.useful_flops += self._useful_vtg(banks, cap_idx, vid_idx)
         self.flush_feats(banks)
         prefix_ids, prefix_mask = self._vtg_prefix_arrays()
@@ -1566,24 +1570,54 @@ class RerankEngine:
                 pending.append(([packs[i][2] for i in sl_real], out))
                 if stream and len(pending) >= 8:
                     consume(*pending.pop(0))
-        for mapping, out in pending:
-            consume(mapping, out)
-        return self._allreduce_scores(scores)
+
+        def finalize() -> np.ndarray:
+            for mapping, out in pending:
+                consume(mapping, out)
+            return self._allreduce_scores(scores)
+
+        if deferred:
+            return finalize
+        return finalize()
+
+    def _batch_plan(self, m: int, G: int):
+        """Batch sizes covering m packs: full-G batches, then the remainder
+        decomposed down a power-of-two ladder (floored at one mesh row).
+        Padding the tail straight to G wasted up to (G-1) pack-forwards per
+        (size-class, pass) — 22-29% of the two prior passes' dispatch at the
+        bench shape (scripts/analyze_schedule.py batch_pad). The ladder caps
+        pad waste at <n_data packs while adding at most log2(G/n_data)
+        compile variants per size class."""
+        plan = []
+        left = m
+        while left >= G:
+            plan.append(G)
+            left -= G
+        b = max(1, G // self.n_data)  # ladder in per-mesh-row units: every
+        while left > 0:               # batch stays n_data-aligned for P(DATA_AXIS)
+            while b > 1 and b * self.n_data > left:
+                b //= 2
+            g = b * self.n_data
+            plan.append(g)
+            left -= min(g, left)
+        return plan
 
     def _run_pack_batches(self, packs, size, banks, G, run_step):
-        """Shared pack-dispatch loop: assemble rows, pad the pack list to a
-        multiple of G (repeating pack 0 — idempotent scatter), call
-        run_step(sl, stacked_arrays) per batch. Yields (real pack indices,
-        step output) pairs."""
+        """Shared pack-dispatch loop: assemble rows, split the pack list into
+        ladder-sized batches (tail padded by repeating pack 0 — idempotent
+        scatter), call run_step(sl, stacked_arrays) per batch. Yields
+        (real pack indices, step output) pairs."""
         rows = [self._assemble_pack(banks, caps, size) for _, caps, _ in packs]
         m = len(packs)
-        m_pad = -(-m // G) * G
-        sel = np.concatenate([np.arange(m), np.zeros(m_pad - m, np.int64)])
-        for s in range(0, m_pad, G):
-            sl = sel[s : s + G]
+        s = 0
+        for g in self._batch_plan(m, G):
+            n_real = min(g, m - s)
+            sl = np.concatenate(
+                [np.arange(s, s + n_real), np.zeros(g - n_real, np.int64)])
             arrs = tuple(np.stack([rows[i][j] for i in sl]) for j in range(4))
             out = run_step(sl, arrs)
-            yield sl[: min(G, m - s)], out
+            yield sl[:n_real], out
+            s += n_real
 
     def compute_vtg_priors_packed(self, banks: Dict[str, jax.Array],
                                   deferred: bool = False):

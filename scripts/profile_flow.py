@@ -22,6 +22,15 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--no-lora", action="store_true", help="A/B: measure the adapter tax")
+    ap.add_argument("--flow", action="store_true",
+                    help="profile the REAL overlapped evaluation() via its "
+                         "timing marks instead of sequential stages")
+    ap.add_argument("--zeroshot", action="store_true",
+                    help="with --flow: no TVG direction (zero-shot gating)")
+    ap.add_argument("--seed", type=int, default=11,
+                    help="trial data seed stream: vary across invocations — "
+                         "identical (executable, inputs) pairs can be served "
+                         "by the tunnel's result cache")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +94,66 @@ def main():
         dt = time.perf_counter() - t0
         out.append((name, dt))
         return r
+
+    if args.flow:
+        import gc
+
+        from bench import _drain_device
+        from blim_tpu.engine.evaluation import EvalInputs, evaluation
+
+        def make_inputs(seed):
+            r = np.random.default_rng((args.seed,) + tuple(seed) if isinstance(seed, tuple) else seed)
+            return EvalInputs(
+                captions=make_captions(n, r, args.caption_tokens),
+                item_video_idx=np.arange(n),
+                features=r.standard_normal(feats.shape).astype(np.float32) * 0.5,
+                t2v_iv2=r.standard_normal((n, n)).astype(np.float32) + 0.01,
+                v2t_iv2=r.standard_normal((n, n)).astype(np.float32) + 0.01,
+            )
+
+        def run(inputs, marks=None):
+            # bench.py's discipline: compile-500s and HBM exhaustion next to
+            # the resident 7B are transient (deferred deallocs in flight) —
+            # settle and retry instead of dying
+            for attempt in range(3):
+                try:
+                    return evaluation(
+                        engine, inputs, tok, "MSRVTT", topk=args.topk,
+                        cpn=True, has_tvg=not args.zeroshot, verbose=False,
+                        timings=marks)
+                except Exception as e:
+                    transient = ("RESOURCE_EXHAUSTED" in repr(e)
+                                 or "remote_compile" in repr(e)
+                                 or "HTTP 500" in repr(e))
+                    if not transient or attempt == 2:
+                        raise
+                    print(f"# transient failure (attempt {attempt + 1}); "
+                          "settling and retrying", flush=True)
+                    gc.collect()
+                    _drain_device()
+                    time.sleep(10)
+
+        # warmup at the EXACT trial shape (bank shape is part of the compile
+        # key — see bench.py measure()); different data than the trials
+        run(make_inputs((11, 999)))
+        best = None
+        for trial in range(args.trials):
+            gc.collect()
+            _drain_device()
+            time.sleep(3)
+            inputs = make_inputs((11, trial))
+            marks = {}
+            t0 = time.perf_counter()
+            run(inputs, marks)
+            total = time.perf_counter() - t0
+            print(f"--- trial {trial}: {total:.2f}s ---", flush=True)
+            prev = 0.0
+            for name, t in marks.items():
+                print(f"{name:16s} @{t:7.2f}s  (+{t - prev:6.2f}s)")
+                prev = t
+            if best is None or total < best[0]:
+                best = (total, marks)
+        return
 
     best = None
     for trial in range(args.trials):

@@ -124,3 +124,29 @@ def test_decoupled_q_buckets_classification():
             assert load <= size and nq <= qcap
             assert not any(s >= load and s < size for s in sizes)
             assert not any(q >= nq and q < qcap for q in qb)
+
+
+def test_batch_plan_ladder():
+    """Tail batches step down a power-of-two ladder: every batch is a
+    multiple of n_data, the plan covers m, and pad stays under half the
+    tail batch (the old pad-to-G scheme wasted up to G-1 pack forwards)."""
+    from blim_tpu.engine.rerank import RerankEngine
+
+    class _E:
+        pass
+
+    for n_data in (1, 2, 4):
+        e = _E()
+        e.n_data = n_data
+        for base in (1, 2, 3, 6, 8):
+            G = base * n_data
+            for m in range(0, 4 * G + 3):
+                plan = RerankEngine._batch_plan(e, m, G)
+                cov = sum(plan)
+                assert cov >= m
+                assert all(g % n_data == 0 and 0 < g <= G for g in plan)
+                # greedy descending: batch sizes never grow
+                assert all(a >= b for a, b in zip(plan, plan[1:])), (m, G, plan)
+                # padding only in the final sub-n_data remainder (the old
+                # pad-to-G scheme wasted up to G-1 pack forwards)
+                assert cov - m < n_data, (m, G, plan)
