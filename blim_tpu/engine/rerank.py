@@ -367,6 +367,30 @@ def _project_tvg_chunk(proj_params, proj_lora, feats, lora_scale, out_dtype):
     return out.astype(jnp.dtype(out_dtype))
 
 
+def batch_plan(m: int, G: int, n_data: int):
+    """Batch sizes covering m packs: full-G batches, then the remainder
+    decomposed down a power-of-two ladder (floored at one mesh row).
+    Padding the tail straight to G wasted up to (G-1) pack-forwards per
+    (size-class, pass) — 22-29% of the two prior passes' dispatch at the
+    bench shape (scripts/analyze_schedule.py batch_pad). The ladder caps
+    pad waste at <n_data packs while adding at most log2(G/n_data)
+    compile variants per size class. Module-level so the offline analyzer
+    models the engine's dispatch exactly."""
+    plan = []
+    left = m
+    while left >= G:
+        plan.append(G)
+        left -= G
+    b = max(1, G // n_data)  # ladder in per-mesh-row units: every
+    while left > 0:          # batch stays n_data-aligned for P(DATA_AXIS)
+        while b > 1 and b * n_data > left:
+            b //= 2
+        g = b * n_data
+        plan.append(g)
+        left -= min(g, left)
+    return plan
+
+
 def unique_pairs(cap_idx: np.ndarray, vid_idx: np.ndarray):
     """Dedupe (caption, video) keys. Returns (uniq_cap, uniq_vid, inverse) —
     the same physical pair appears in both rerank directions
@@ -1581,26 +1605,7 @@ class RerankEngine:
         return finalize()
 
     def _batch_plan(self, m: int, G: int):
-        """Batch sizes covering m packs: full-G batches, then the remainder
-        decomposed down a power-of-two ladder (floored at one mesh row).
-        Padding the tail straight to G wasted up to (G-1) pack-forwards per
-        (size-class, pass) — 22-29% of the two prior passes' dispatch at the
-        bench shape (scripts/analyze_schedule.py batch_pad). The ladder caps
-        pad waste at <n_data packs while adding at most log2(G/n_data)
-        compile variants per size class."""
-        plan = []
-        left = m
-        while left >= G:
-            plan.append(G)
-            left -= G
-        b = max(1, G // self.n_data)  # ladder in per-mesh-row units: every
-        while left > 0:               # batch stays n_data-aligned for P(DATA_AXIS)
-            while b > 1 and b * self.n_data > left:
-                b //= 2
-            g = b * self.n_data
-            plan.append(g)
-            left -= min(g, left)
-        return plan
+        return batch_plan(m, G, self.n_data)
 
     def _run_pack_batches(self, packs, size, banks, G, run_step):
         """Shared pack-dispatch loop: assemble rows, split the pack list into

@@ -43,6 +43,7 @@ from blim_tpu.data.prompts import make_tvg_layout, make_vtg_layout
 from blim_tpu.data.tokenization import ByteFallbackTokenizer
 from blim_tpu.engine.rerank import (
     CaptionBank,
+    batch_plan,
     build_packs,
     build_tvg_packs,
     default_pack_sizes,
@@ -119,7 +120,7 @@ def analyze_vtg_packed(cfg, layout, lens, cap_idx, vid_idx, pack_sizes,
         m = len(packs)
         total_packs += m
         G = max(1, min(token_budget // (P_len + size), 8))
-        m_pad = -(-m // G) * G
+        m_pad = sum(batch_plan(m, G, 1))  # bench shape: single-chip mesh
         n_batch_pad = m_pad - m
         # dispatched, engine-identically:
         if not is_prior:
@@ -189,7 +190,7 @@ def analyze_tvg_packed(cfg, layout, lens, cap_idx, vid_idx, classes,
                                            q_buckets=q_buckets):
         m = len(packs)
         G = max(1, min(token_budget // (size + qn * W), 8))
-        m_pad = -(-m // G) * G
+        m_pad = sum(batch_plan(m, G, 1))  # bench shape: single-chip mesh
         n_batch_pad = m_pad - m
         rep.dispatched += F.packed_prefix_kv_flops(llm, m_pad, size)
         rep.dispatched += F.flat_query_suffix_flops(llm, m_pad * qn, W, size)
@@ -339,6 +340,8 @@ def sweep(args, cfg, vtg_l, tvg_l):
 
     for label, m, finetuned in [("zero-shot", args.queries, False),
                                 ("fine-tuned", args.finetuned_queries, True)]:
+        if m <= 0:
+            continue
         wl = build_workload(args, cfg, vtg_l, tvg_l, m, finetuned)
         print(f"\n#### sweep {label} ({m} queries)")
         base = None
@@ -394,6 +397,8 @@ def main():
 
     for label, m, finetuned in [("zero-shot", args.queries, False),
                                 ("fine-tuned", args.finetuned_queries, True)]:
+        if m <= 0:
+            continue
         wl = build_workload(args, cfg, vtg_l, tvg_l, m, finetuned)
         vtg_lens, tvg_lens, u_cap, u_vid = wl
         print(f"\n#### {label}: {m} queries, topk {args.topk}, "
