@@ -144,6 +144,50 @@ def resize_and_center_crop(image, shortest_edge_length: int):
     return resized.crop((left, top, left + shortest_edge_length, top + shortest_edge_length))
 
 
+def auto_pad_images(image, grid_params: Sequence[int]):
+    """Closest-aspect grid resolution, aspect-preserving resize, centered
+    black padding (reference: mm_utils.py:416-443)."""
+    from PIL import Image
+
+    image = _to_pil(image)
+    assert len(grid_params) > 0, "Grid parameters should not be empty"
+    iw, ih = image.size
+    input_aspect = iw / ih
+    candidates = [(w / h, w, h) for w in grid_params for h in grid_params]
+    closest = min(candidates, key=lambda x: abs(input_aspect - x[0]))
+    candidates = [(w, h) for a, w, h in candidates if abs(a - closest[0]) < 1e-3]
+    target = min(candidates, key=lambda res: abs(max(iw, ih) / max(res) - 1))
+    rw, rh = target
+    if iw > ih:
+        rh = int(rw / input_aspect)
+    else:
+        rw = int(rh * input_aspect)
+    resized = image.resize((rw, rh))
+    out = Image.new("RGB", target, color=(0, 0, 0))
+    out.paste(resized, ((target[0] - rw) // 2, (target[1] - rh) // 2))
+    return out
+
+
+def load_image_from_base64(image: str):
+    """PIL image from a base64 string (reference: mm_utils.py:747-748)."""
+    import base64
+    from io import BytesIO
+
+    from PIL import Image
+
+    return Image.open(BytesIO(base64.b64decode(image)))
+
+
+def get_model_name_from_path(model_path: str) -> str:
+    """Last path segment; checkpoint dirs keep their parent
+    (reference: mm_utils.py:819-825)."""
+    model_path = model_path.strip("/")
+    parts = model_path.split("/")
+    if parts[-1].startswith("checkpoint-"):
+        return parts[-2] + "_" + parts[-1]
+    return parts[-1]
+
+
 def extract_patches(image, patch_size: int, overlap_ratio: float) -> List:
     """Strided overlapping tiles (reference: mm_utils.py:447-468)."""
     image = _to_pil(image)
@@ -208,6 +252,17 @@ def process_highres_image(image, processor, grid_pinpoints) -> np.ndarray:
     patches = extract_patches(image_padded, _proc_size(processor), overlap_ratio=0)
     tiles = [base] + patches
     arr = np.stack([np.asarray(t.convert("RGB")) for t in tiles])
+    return processor.preprocess(arr)
+
+
+def process_highres_image_crop_split(image, crop_resolution: int,
+                                     split_resolution: int, processor) -> np.ndarray:
+    """Center-crop then non-overlapping split (reference: mm_utils.py:470-479).
+    Reachable only through explicit calls — process_images' crop_split branch
+    raises first, mirroring the reference's own dispatch (mm_utils.py:781)."""
+    crop = resize_and_center_crop(image, crop_resolution)
+    patches = extract_patches(crop, patch_size=split_resolution, overlap_ratio=0)
+    arr = np.stack([np.asarray(p.convert("RGB")) for p in patches])
     return processor.preprocess(arr)
 
 

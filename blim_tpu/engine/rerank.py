@@ -508,38 +508,49 @@ class RerankEngine:
             self.lora = jax.device_put(lora, self._replicated)
 
         ws, wl = vtg_layout.label_window
+        # The step impls are STATICMETHODS and the partials bind only plain
+        # config values — a bound method here would put `self` inside the
+        # jitted callable and cycle it back through the attributes below,
+        # keeping a dead engine's HBM buffers alive until a gc pass (the
+        # round-3 `del engine; gc.collect()` ritual). `del engine` must free.
+        _static = dict(config=config, lora_scale=lora_scale, use_pallas=use_pallas)
         self._vtg_step = jax.jit(
             functools.partial(
-                self._vtg_step_impl,
+                RerankEngine._vtg_step_impl,
                 video_start=vtg_layout.video_start,
                 window_start=ws,
                 window_len=wl,
+                **_static,
             ),
             static_argnames=("with_prior",),
         )
         self._vtg_shared_step = jax.jit(
             functools.partial(
-                self._vtg_shared_step_impl,
+                RerankEngine._vtg_shared_step_impl,
                 video_start=vtg_layout.video_start,
                 position_offset=vtg_layout.prefix_len,
+                **_static,
             ),
             static_argnames=("width", "video_direct"),
         )
         self._vtg_prior_step = jax.jit(
             functools.partial(
-                self._vtg_prior_step_impl,
+                RerankEngine._vtg_prior_step_impl,
                 position_offset=vtg_layout.prefix_len,
+                **_static,
             ),
             static_argnames=("width",),
         )
         self._vtg_packed_step = jax.jit(
             functools.partial(
-                self._vtg_packed_step_impl, video_start=vtg_layout.video_start
+                RerankEngine._vtg_packed_step_impl,
+                video_start=vtg_layout.video_start, **_static,
             ),
             static_argnames=("n_segments", "video_direct"),
         )
         self._vtg_prior_packed_step = jax.jit(
-            self._vtg_prior_packed_step_impl, static_argnames=("n_segments",)
+            functools.partial(RerankEngine._vtg_prior_packed_step_impl, **_static),
+            static_argnames=("n_segments",),
         )
         # packed-suffix schedule: variable-length caption segments share rows.
         # Sizes above 512 matter because a pack never mixes videos and the
@@ -562,17 +573,19 @@ class RerankEngine:
         if tvg_layout is not None:
             self._tvg_step = jax.jit(
                 functools.partial(
-                    self._tvg_step_impl,
+                    RerankEngine._tvg_step_impl,
                     video_start=tvg_layout.video_start,
                     gather_start=int(tvg_layout.gather_positions[0]),
+                    **_static,
                 ),
                 static_argnames=("with_prior",),
             )
             self._tvg_shared_step = jax.jit(
                 functools.partial(
-                    self._tvg_shared_step_impl,
+                    RerankEngine._tvg_shared_step_impl,
                     position_offset=tvg_layout.prefix_len,
                     terminator_ids=tvg_layout.terminator_ids,
+                    **_static,
                 ),
                 static_argnames=("with_prior", "prefix_width"),
             )
@@ -584,8 +597,9 @@ class RerankEngine:
             )
             self._tvg_packed_step = jax.jit(
                 functools.partial(
-                    self._tvg_packed_step_impl,
+                    RerankEngine._tvg_packed_step_impl,
                     position_offset=tvg_layout.prefix_len,
+                    **_static,
                 ),
                 static_argnames=("cpn",),
             )
@@ -776,9 +790,11 @@ class RerankEngine:
 
     # -- jitted steps ----------------------------------------------------------
 
+    @staticmethod
     def _vtg_step_impl(
-        self, params, lora, banks, cap_idx, vid_idx,
+        params, lora, banks, cap_idx, vid_idx,
         *, with_prior: bool, video_start: int, window_start: int, window_len: int,
+        config, lora_scale, use_pallas,
     ):
         batch = {
             "input_ids": jnp.take(banks["ids"], cap_idx, axis=0),
@@ -788,20 +804,22 @@ class RerankEngine:
             "video": jnp.take(banks["feats"], vid_idx, axis=0),
         }
         score = vcf.score_vtg(
-            params, self.config, batch, video_start, window_start, window_len,
-            lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+            params, config, batch, video_start, window_start, window_len,
+            lora=lora, lora_scale=lora_scale, use_pallas=use_pallas,
         )
         if not with_prior:
             return score, score
         prior = vcf.score_vtg(
-            params, self.config, batch, video_start, window_start, window_len,
-            cpn=True, lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+            params, config, batch, video_start, window_start, window_len,
+            cpn=True, lora=lora, lora_scale=lora_scale, use_pallas=use_pallas,
         )
         return score, prior
 
+    @staticmethod
     def _tvg_step_impl(
-        self, params, lora, banks, video_vocab, cap_idx, vid_idx,
+        params, lora, banks, video_vocab, cap_idx, vid_idx,
         *, with_prior: bool, video_start: int, gather_start: int,
+        config, lora_scale, use_pallas,
     ):
         batch = {
             "input_ids": jnp.take(banks["ids"], cap_idx, axis=0),
@@ -811,21 +829,22 @@ class RerankEngine:
             "video_label": vid_idx,
         }
         score = vcf.score_tvg(
-            params, self.config, batch, video_vocab, video_start, gather_start,
-            lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+            params, config, batch, video_vocab, video_start, gather_start,
+            lora=lora, lora_scale=lora_scale, use_pallas=use_pallas,
         )
         if not with_prior:
             return score, score
         prior = vcf.score_tvg(
-            params, self.config, batch, video_vocab, video_start, gather_start,
-            cpn=True, lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+            params, config, batch, video_vocab, video_start, gather_start,
+            cpn=True, lora=lora, lora_scale=lora_scale, use_pallas=use_pallas,
         )
         return score, prior
 
+    @staticmethod
     def _vtg_shared_step_impl(
-        self, params, lora, banks, prefix_ids, prefix_mask, vid_or_idx, cap_idx,
+        params, lora, banks, prefix_ids, prefix_mask, vid_or_idx, cap_idx,
         *, video_start: int, position_offset: int, width: int,
-        video_direct: bool = False,
+        video_direct: bool = False, config, lora_scale, use_pallas,
     ):
         """Shared-prefix scoring: prefix KV once per video (G videos), then
         K caption suffixes per video. cap_idx (G, K); vid_or_idx is either
@@ -842,22 +861,23 @@ class RerankEngine:
         prefix = jnp.broadcast_to(prefix_ids[None], (g, prefix_ids.shape[0]))
         pmask = jnp.broadcast_to(prefix_mask[None], prefix.shape)
         kv = vcf.vtg_prefix_hidden_kv(
-            params, self.config, prefix, video, video_start, prefix_mask=pmask,
-            lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+            params, config, prefix, video, video_start, prefix_mask=pmask,
+            lora=lora, lora_scale=lora_scale, use_pallas=use_pallas,
         )
         flat = cap_idx.reshape(-1)
         suf_ids = jnp.take(banks["suffix_ids"], flat, axis=0)[:, :width].reshape(g, k, -1)
         suf_mask = jnp.take(banks["suffix_mask"], flat, axis=0)[:, :width].reshape(g, k, -1)
         suf_labels = jnp.take(banks["suffix_labels"], flat, axis=0)[:, : width - 1].reshape(g, k, -1)
         return vcf.score_vtg_suffix(
-            params, self.config, kv, suf_ids, suf_mask, suf_labels,
-            position_offset, prefix_mask=pmask, lora=lora, lora_scale=self.lora_scale,
-            use_pallas=self.use_pallas,
+            params, config, kv, suf_ids, suf_mask, suf_labels,
+            position_offset, prefix_mask=pmask, lora=lora, lora_scale=lora_scale,
+            use_pallas=use_pallas,
         )
 
+    @staticmethod
     def _vtg_prior_step_impl(
-        self, params, lora, banks, prior_kv, prior_mask, cap_idx,
-        *, position_offset: int, width: int,
+        params, lora, banks, prior_kv, prior_mask, cap_idx,
+        *, position_offset: int, width: int, config, lora_scale, use_pallas,
     ):
         """CPN prior P(t) per caption over the constant text-only prefix.
         cap_idx (B,) -> scores (B,)."""
@@ -865,16 +885,18 @@ class RerankEngine:
         suf_mask = jnp.take(banks["suffix_mask"], cap_idx, axis=0)[:, :width][None]
         suf_labels = jnp.take(banks["suffix_labels"], cap_idx, axis=0)[:, : width - 1][None]
         scores = vcf.score_vtg_suffix(
-            params, self.config, prior_kv, suf_ids, suf_mask, suf_labels,
-            position_offset, prefix_mask=prior_mask, lora=lora, lora_scale=self.lora_scale,
-            use_pallas=self.use_pallas,
+            params, config, prior_kv, suf_ids, suf_mask, suf_labels,
+            position_offset, prefix_mask=prior_mask, lora=lora, lora_scale=lora_scale,
+            use_pallas=use_pallas,
         )
         return scores[0]
 
+    @staticmethod
     def _vtg_packed_step_impl(
-        self, params, lora, banks, prefix_ids, prefix_mask, vid_or_idx,
+        params, lora, banks, prefix_ids, prefix_mask, vid_or_idx,
         pack_ids, pack_seg, pack_pos, pack_labels,
         *, video_start: int, n_segments: int, video_direct: bool = False,
+        config, lora_scale, use_pallas,
     ):
         """Packed-suffix VTG scoring: prefix KV once per pack's video, then
         the pack's variable-length caption segments decode in one row.
@@ -888,17 +910,19 @@ class RerankEngine:
         prefix = jnp.broadcast_to(prefix_ids[None], (g, prefix_ids.shape[0]))
         pmask = jnp.broadcast_to(prefix_mask[None], prefix.shape)
         kv = vcf.vtg_prefix_hidden_kv(
-            params, self.config, prefix, video, video_start, prefix_mask=pmask,
-            lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+            params, config, prefix, video, video_start, prefix_mask=pmask,
+            lora=lora, lora_scale=lora_scale, use_pallas=use_pallas,
         )
         return vcf.score_vtg_packed(
-            params, self.config, kv, pack_ids, pack_seg, pack_pos, pack_labels,
-            n_segments, prefix_mask=pmask, lora=lora, lora_scale=self.lora_scale,
+            params, config, kv, pack_ids, pack_seg, pack_pos, pack_labels,
+            n_segments, prefix_mask=pmask, lora=lora, lora_scale=lora_scale,
         )
 
+    @staticmethod
     def _vtg_prior_packed_step_impl(
-        self, params, lora, prior_kv, prior_mask,
+        params, lora, prior_kv, prior_mask,
         pack_ids, pack_seg, pack_pos, pack_labels, *, n_segments: int,
+        config, lora_scale, use_pallas,
     ):
         """Packed CPN priors: every caption shares the one text-only prefix,
         so its KV broadcasts across the pack axis."""
@@ -909,14 +933,15 @@ class RerankEngine:
         }
         pmask = jnp.broadcast_to(prior_mask, (g, prior_mask.shape[1]))
         return vcf.score_vtg_packed(
-            params, self.config, kv, pack_ids, pack_seg, pack_pos, pack_labels,
-            n_segments, prefix_mask=pmask, lora=lora, lora_scale=self.lora_scale,
+            params, config, kv, pack_ids, pack_seg, pack_pos, pack_labels,
+            n_segments, prefix_mask=pmask, lora=lora, lora_scale=lora_scale,
         )
 
+    @staticmethod
     def _tvg_shared_step_impl(
-        self, params, lora, banks, video_vocab, cap_idx, vid_idx,
+        params, lora, banks, video_vocab, cap_idx, vid_idx,
         *, with_prior: bool, position_offset: int, terminator_ids,
-        prefix_width: Optional[int] = None,
+        prefix_width: Optional[int] = None, config, lora_scale, use_pallas,
     ):
         """Shared-prefix TVG scoring grouped by caption: prefix KV once per
         caption (G captions), K candidate-video suffixes each.
@@ -941,13 +966,13 @@ class RerankEngine:
         def run(pm_full, cpn):
             pm = pm_full[:, off:]
             kv = vcf.tvg_prefix_kv(
-                params, self.config, prefix_ids, pm, position_ids=positions,
-                lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+                params, config, prefix_ids, pm, position_ids=positions,
+                lora=lora, lora_scale=lora_scale, use_pallas=use_pallas,
             )
             return vcf.score_tvg_shared(
-                params, self.config, kv, pm, first_ids, video, vid_idx, video_vocab,
+                params, config, kv, pm, first_ids, video, vid_idx, video_vocab,
                 terminator_ids, position_offset, cpn=cpn,
-                lora=lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
+                lora=lora, lora_scale=lora_scale, use_pallas=use_pallas,
             )
 
         score = run(jnp.take(banks["prefix_mask"], cap_idx, axis=0), False)
@@ -956,10 +981,11 @@ class RerankEngine:
         prior = run(jnp.take(banks["prefix_cpn"], cap_idx, axis=0), True)
         return score, prior
 
+    @staticmethod
     def _tvg_packed_step_impl(
-        self, params, lora, first_ids, tvg_embeds, video_vocab,
+        params, lora, first_ids, tvg_embeds, video_vocab,
         pack_ids, pack_seg, pack_pos, q_seg, q_cap, q_vid,
-        *, cpn: bool, position_offset: int,
+        *, cpn: bool, position_offset: int, config, lora_scale, use_pallas,
     ):
         """Packed-prefix TVG scoring: caption prefixes lie back-to-back in one
         (G, T) row (block-diagonal causal attention), and a flat (G, Q) query
@@ -967,17 +993,17 @@ class RerankEngine:
         segment's KV. One pass per call — the CPN prior runs as a separate
         pass over head-only packs (see score_pairs_tvg_packed)."""
         kv = vcf.tvg_pack_prefix_kv(
-            params, self.config, pack_ids, pack_seg, pack_pos,
-            lora=lora, lora_scale=self.lora_scale,
+            params, config, pack_ids, pack_seg, pack_pos,
+            lora=lora, lora_scale=lora_scale,
         )
         g, qn = q_seg.shape
         q_first = jnp.take(first_ids, q_cap.reshape(-1), axis=0).reshape(g, qn)
         q_video = jnp.take(tvg_embeds, q_vid.reshape(-1), axis=0)
         q_video = q_video.reshape(g, qn, *q_video.shape[1:])
         return vcf.score_tvg_packed(
-            params, self.config, kv, pack_seg, q_seg, q_first, q_video, q_vid,
+            params, config, kv, pack_seg, q_seg, q_first, q_video, q_vid,
             video_vocab, position_offset, cpn=cpn,
-            lora=lora, lora_scale=self.lora_scale,
+            lora=lora, lora_scale=lora_scale,
         )
 
     def _assemble_tvg_pack(self, banks, segs, size: int, qn: int,
@@ -1292,6 +1318,21 @@ class RerankEngine:
     def reset_flops(self) -> None:
         self.flops = 0.0
         self.useful_flops = 0.0
+
+    def close(self) -> None:
+        """Deterministically release device state (params/lora references and
+        the jitted step wrappers with their compiled executables).
+
+        The engine holds no reference cycles (the step impls are staticmethods
+        — see __init__), so plain `del engine` already frees everything it
+        owns; close() is for callers that keep the engine referenced elsewhere
+        and want HBM back NOW (e.g. building a second engine next to a 7B).
+        Idempotent; a closed engine raises on use."""
+        for name in list(self.__dict__):
+            if name.startswith("_vtg") or name.startswith("_tvg") or name in (
+                "params", "lora", "_reshard"):
+                self.__dict__.pop(name, None)
+        self._closed = True
 
     # -- useful-work oracles (request-derived, schedule-independent) ----------
 

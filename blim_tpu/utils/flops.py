@@ -153,6 +153,76 @@ def flat_query_suffix_flops(cfg: Qwen2Config, n_queries: int, width: int,
     )
 
 
+def train_step_executed_flops(
+    config: ModelConfig,
+    batch: int,
+    vtg_seq: int,
+    vtg_lm_positions: int,
+    tvg_seq: int,
+    vocab_videos: int,
+    lora_r: int,
+    vtg_video_tokens: int = 0,
+    tvg_video_tokens: int = 0,
+) -> dict:
+    """Executed-work FLOPs for one LoRA train step (the honest MFU numerator).
+
+    The 7B base is FROZEN: jax.value_and_grad is taken only wrt the LoRA
+    factors + visual_head (engine/train.py:168-174), so dW for a base matrix
+    is never computed. With remat=True on both decoder forwards
+    (engine/train.py:125,135) the executed work per component is:
+
+      decoder base matmuls    3x fwd  (fwd + remat recompute + dx backward;
+                                       the dW = x^T dy matmul is skipped)
+      attention score/PV      4x fwd  (fwd + remat + backward: dS/dV/dQ/dK
+                                       are 4 score-grid matmuls vs 2 forward)
+      lm_head (frozen + LoRA) 2x fwd  (OUTSIDE the remat — vtg_window_logits
+                                       consumes the saved hidden: fwd + dx)
+      LoRA factors           ~4x fwd  (fwd + remat + dA/dB/dx; <0.5% of total)
+      visual_head (trainable) 3x fwd  (fwd + dx + dW; outside remat)
+      video-vocab bmm         2x fwd  (fwd + dx; the vocab is data, no dW)
+      projector MLP (frozen)  3x fwd  (fwd + remat + dx; LoRA folded into ~)
+
+    The classic 4x-fwd rule (1 fwd + 2 bwd + 1 remat) bills a dW per base
+    matmul that is never executed, overstating this step by ~1/3 (0.9865
+    "MFU" at 7B). bench.py keeps the old number as `mfu_4x_rule` for
+    round-over-round continuity.
+
+    Returns {"executed": ..., "fwd": ...} (fwd = one true forward, with the
+    LoRA/projector/head extras included).
+    """
+    llm = config.llm
+    d, r = llm.hidden_size, lora_r
+    nh_out = llm.num_attention_heads * llm.head_dim
+    nkv_out = llm.num_key_value_heads * llm.head_dim
+
+    tokens = float(batch) * (vtg_seq + tvg_seq)
+    m_dec = tokens * decoder_matmul_flops_per_token(llm)
+    attn = attention_flops(
+        llm,
+        batch * (causal_self_attn_terms(vtg_seq) + causal_self_attn_terms(tvg_seq)),
+    )
+    head = lm_head_flops(llm, float(batch) * vtg_lm_positions)
+    lora_dec = tokens * llm.num_hidden_layers * 2.0 * (
+        (d * r + r * nh_out)            # q_proj adapter
+        + 2.0 * (d * r + r * nkv_out)   # k,v_proj adapters
+        + (nh_out * r + r * d)          # o_proj adapter
+    )
+    lora_head = float(batch) * vtg_lm_positions * 2.0 * (d * r + r * llm.vocab_size)
+    clips = float(batch) * config.num_clips
+    vh = clips * 2.0 * d * config.mm_hidden_size
+    bmm = clips * 2.0 * config.mm_hidden_size * vocab_videos
+    proj = (
+        float(batch) * (vtg_video_tokens + tvg_video_tokens)
+        * 2.0 * (config.mm_hidden_size * d + d * d)
+    )
+    executed = (
+        3.0 * m_dec + 4.0 * attn + 2.0 * head
+        + 4.0 * (lora_dec + lora_head) + 3.0 * vh + 2.0 * bmm + 3.0 * proj
+    )
+    fwd = m_dec + attn + head + lora_dec + lora_head + vh + bmm + proj
+    return {"executed": executed, "fwd": fwd}
+
+
 def tvg_head_flops(config: ModelConfig, clips: float, vocab_videos: int) -> float:
     """visual_head projection + video-vocab bmm per gathered clip token."""
     h, mm = config.llm.hidden_size, config.mm_hidden_size

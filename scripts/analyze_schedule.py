@@ -90,7 +90,7 @@ class PassReport:
 
 
 def analyze_vtg_packed(cfg, layout, lens, cap_idx, vid_idx, pack_sizes,
-                       token_budget, name, prior_prefix_len=None):
+                       token_budget, name, prior_prefix_len=None, n_data=1):
     """Mirror score_pairs_vtg_packed / compute_vtg_priors_packed accounting.
 
     prior_prefix_len: if set, this is the prior pass (one shared text prefix,
@@ -116,17 +116,25 @@ def analyze_vtg_packed(cfg, layout, lens, cap_idx, vid_idx, pack_sizes,
 
     n_prefix_useful = 1 if is_prior else len(np.unique(vid_idx))
     total_packs = 0
+    if is_prior:
+        # the one-time prior-prefix KV forward (compute_vtg_priors_packed
+        # bills it at rerank.py's `prefix_forward_flops(llm, 1, P_prior)`);
+        # without it the useful oracle — which also includes one prefix
+        # forward — exceeds dispatched at small shapes (ADVICE r3)
+        rep.dispatched += F.prefix_forward_flops(llm, 1, P_len)
     for size, packs in build_packs(key_idx, pay_idx, lens, pack_sizes):
         m = len(packs)
         total_packs += m
-        G = max(1, min(token_budget // (P_len + size), 8))
-        m_pad = sum(batch_plan(m, G, 1))  # bench shape: single-chip mesh
+        # engine-identical G: budget-derived per-chip batch scaled by the
+        # mesh's data rows (rerank.py `G *= self.n_data`)
+        G = max(1, min(token_budget // (P_len + size), 8)) * n_data
+        m_pad = sum(batch_plan(m, G, n_data))
         n_batch_pad = m_pad - m
         # dispatched, engine-identically:
         if not is_prior:
             rep.dispatched += F.prefix_forward_flops(llm, m_pad, P_len)
         else:
-            # prior packs broadcast one cached prefix KV: no per-pack prefix
+            # prior packs broadcast the cached prefix KV: no per-pack prefix
             pass
         rep.dispatched += F.packed_suffix_forward_flops(llm, m_pad, size, P_len)
 
@@ -159,7 +167,7 @@ def analyze_vtg_packed(cfg, layout, lens, cap_idx, vid_idx, pack_sizes,
 
 def analyze_tvg_packed(cfg, layout, lens, cap_idx, vid_idx, classes,
                        token_budget, vocab_videos, name, head_len=None,
-                       q_buckets=None):
+                       q_buckets=None, n_data=1):
     """Mirror score_pairs_tvg_packed's run_pass accounting (one pass)."""
     llm = cfg.llm
     W = cfg.num_clips
@@ -189,8 +197,8 @@ def analyze_tvg_packed(cfg, layout, lens, cap_idx, vid_idx, classes,
     for size, qn, packs in build_tvg_packs(cap_idx, vid_idx, eff, classes,
                                            q_buckets=q_buckets):
         m = len(packs)
-        G = max(1, min(token_budget // (size + qn * W), 8))
-        m_pad = sum(batch_plan(m, G, 1))  # bench shape: single-chip mesh
+        G = max(1, min(token_budget // (size + qn * W), 8)) * n_data
+        m_pad = sum(batch_plan(m, G, n_data))
         n_batch_pad = m_pad - m
         rep.dispatched += F.packed_prefix_kv_flops(llm, m_pad, size)
         rep.dispatched += F.flat_query_suffix_flops(llm, m_pad * qn, W, size)
@@ -260,15 +268,17 @@ def build_workload(args, cfg, vtg_l, tvg_l, m, finetuned):
 
 
 def flow_totals(cfg, vtg_l, tvg_l, wl, finetuned, pack_sizes, tvg_classes,
-                token_budget, label="", q_buckets=None):
+                token_budget, label="", q_buckets=None, n_data=1):
     vtg_lens, tvg_lens, u_cap, u_vid = wl
     m = None
     reports = [
         analyze_vtg_packed(cfg, vtg_l, vtg_lens, u_cap, u_vid, pack_sizes,
-                           token_budget, f"{label} VTG score (packed)"),
+                           token_budget, f"{label} VTG score (packed)",
+                           n_data=n_data),
         analyze_vtg_packed(cfg, vtg_l, vtg_lens, None, None, pack_sizes,
                            token_budget, f"{label} VTG prior (packed)",
-                           prior_prefix_len=len(vtg_l.prior_prefix()[0])),
+                           prior_prefix_len=len(vtg_l.prior_prefix()[0]),
+                           n_data=n_data),
     ]
     if finetuned:
         m = int(u_vid.max()) + 1
@@ -285,12 +295,12 @@ def flow_totals(cfg, vtg_l, tvg_l, wl, finetuned, pack_sizes, tvg_classes,
             analyze_tvg_packed(cfg, tvg_l, tvg_lens, u_cap, u_vid,
                                tvg_classes, token_budget, m,
                                f"{label} TVG score (packed)",
-                               q_buckets=q_buckets),
+                               q_buckets=q_buckets, n_data=n_data),
             analyze_tvg_packed(cfg, tvg_l, tvg_lens, p_cap, p_vid,
                                tvg_classes, token_budget, m,
                                f"{label} TVG prior (packed, head-only, deduped)",
                                head_len=tvg_l.tvg_prefix_length,
-                               q_buckets=q_buckets),
+                               q_buckets=q_buckets, n_data=n_data),
         ]
     disp = sum(r.dispatched for r in reports)
     use = sum(r.useful for r in reports)
@@ -374,6 +384,10 @@ def main():
     ap.add_argument("--topk", type=int, default=16)
     ap.add_argument("--caption-tokens", type=int, default=96)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-data", type=int, default=1,
+                    help="mesh data-axis size (the engine scales step batches "
+                         "G by n_data and ladders in n_data-row units); 1 = "
+                         "the single-chip bench shape")
     ap.add_argument("--sweep", action="store_true",
                     help="sweep candidate pack-size grids / class sets")
     args = ap.parse_args()
@@ -410,7 +424,7 @@ def main():
                   f"head {tvg_l.tvg_prefix_length}, P_full {tvg_l.prefix_len}")
         disp, use, _ = flow_totals(cfg, vtg_l, tvg_l, wl, finetuned,
                                    pack_sizes, tvg_classes, token_budget, label,
-                                   q_buckets=q_buckets)
+                                   q_buckets=q_buckets, n_data=args.n_data)
         print(f"\n  {label} TOTAL: dispatched {disp/1e12:.1f} TF, useful "
               f"{use/1e12:.1f} TF, fraction {use/disp:.3f}")
 

@@ -130,3 +130,67 @@ def test_encode_image_tiles_end_to_end(rng):
     out = vcf.encode_image_tiles(params, cfg, pixels)
     assert out.shape == (3, 64, cfg.llm.hidden_size)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# --- the mm_utils tail (reference: mm_utils.py:395-500, 747-825) -----------
+
+
+def test_auto_pad_images_grid_and_centering():
+    from PIL import Image
+
+    img = Image.new("RGB", (300, 200), (255, 0, 0))
+    out = im.auto_pad_images(img, [224, 448])
+    # aspect 1.5 -> closest candidate aspect 1.0; target (448, 448) wins on
+    # |max(size)/max(res) - 1|; resize to 448x298, centered black pad
+    assert out.size == (448, 448)
+    arr = np.asarray(out)
+    assert (arr[0] == 0).all() and (arr[-1] == 0).all()      # pad bands
+    assert tuple(arr[224, 224]) == (255, 0, 0)               # centered content
+    assert (arr[75] != 0).any() and (arr[74] == 0).all()     # top pad = 75 rows
+
+
+def test_auto_pad_images_rejects_empty_grid():
+    from PIL import Image
+
+    with pytest.raises(AssertionError):
+        im.auto_pad_images(Image.new("RGB", (8, 8)), [])
+
+
+def test_load_image_from_base64_round_trip():
+    import base64
+    from io import BytesIO
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (5, 7, 3), dtype=np.uint8)
+    buf = BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    out = im.load_image_from_base64(b64)
+    np.testing.assert_array_equal(np.asarray(out), arr)
+
+
+def test_get_model_name_from_path():
+    assert im.get_model_name_from_path("/ckpts/VideoChat-Flash-7B/") == "VideoChat-Flash-7B"
+    assert im.get_model_name_from_path("a/b/checkpoint-500") == "b_checkpoint-500"
+    assert im.get_model_name_from_path("plain") == "plain"
+
+
+def test_process_highres_image_crop_split_geometry():
+    from PIL import Image
+
+    proc = UMTImageProcessor(size=(4, 4))
+    img = Image.new("RGB", (20, 12), (0, 128, 0))
+    out = im.process_highres_image_crop_split(img, crop_resolution=8,
+                                              split_resolution=4, processor=proc)
+    # 8x8 center crop -> 2x2 grid of 4x4 tiles
+    assert out.shape == (4, 3, 4, 4)
+    # solid-color input: every tile normalizes identically
+    np.testing.assert_allclose(out[0], out[3], atol=1e-6)
+
+
+def test_process_images_crop_split_dispatch_still_raises():
+    proc = UMTImageProcessor(size=(4, 4))
+    with pytest.raises(NotImplementedError):
+        im.process_images([np.zeros((8, 8, 3), np.uint8)], proc, "crop_split")
