@@ -244,6 +244,58 @@ def make_featurizer(vit_params, config, use_pallas=None):
     return functools.partial(featurize, vit_params)
 
 
+def run_extraction(video_list, decode_fn, featurize, on_features, *,
+                   batch_size: int, clips: int, local_frames: int,
+                   decode_workers: int = 4, save_iter: int = 10, log=print):
+    """The decode -> featurize -> consume pipeline, reusable by main() and
+    bench.py's end-to-end line: threaded host decode (DecodePrefetcher) feeds
+    fixed-size batches to the jitted featurizer; device results are consumed
+    with a lag-2 in-flight window so the TPU runs ahead of host-side saves
+    (the counterpart of the reference's DataLoader(num_workers=4) overlap,
+    reference: extract.py:100). Returns (n_ok, elapsed_seconds)."""
+    import time
+
+    import jax.numpy as jnp
+
+    batch_paths: List[str] = []
+    batch_pixels: List[np.ndarray] = []
+    in_flight: List = []
+
+    def flush():
+        if not batch_paths:
+            return
+        pixels = np.stack(batch_pixels)  # (B, T, 3, H, W)
+        b = pixels.shape[0]
+        pixels = pixels.reshape(b, clips, local_frames, *pixels.shape[2:])
+        # async dispatch: featurize returns immediately; the transfer+save of
+        # the PREVIOUS batch happens while this one runs on the TPU
+        in_flight.append(
+            (list(batch_paths), featurize(jnp.asarray(pixels, jnp.bfloat16))))
+        batch_paths.clear()
+        batch_pixels.clear()
+        while len(in_flight) > 2:
+            on_features(*in_flight.pop(0))
+
+    t0 = time.perf_counter()
+    n_ok = 0
+    prefetch = DecodePrefetcher(video_list, decode_fn, workers=decode_workers)
+    for i, (path, pix, err) in enumerate(prefetch):
+        if err is not None:  # corrupt video -> skip (reference: extract.py:70-74)
+            log(f"Error loading video {path}: {err}")
+            continue
+        batch_pixels.append(pix)
+        batch_paths.append(path)
+        n_ok += 1
+        if len(batch_paths) == batch_size:
+            flush()
+        if i % save_iter == 0:
+            log(f"[{i}/{len(video_list)}]")
+    flush()
+    while in_flight:
+        on_features(*in_flight.pop(0))
+    return n_ok, time.perf_counter() - t0
+
+
 def main(args):
     import jax
     import jax.numpy as jnp
@@ -284,10 +336,6 @@ def main(args):
     max_dur = 30.0 if args.dataset == "DiDeMo" else None
     lf = config.mm_local_num_frames
     clips = args.num_frames // lf
-    batch_paths: List[str] = []
-    batch_pixels: List[np.ndarray] = []
-    in_flight: List = []   # (paths, device feats) — consumed with a lag so
-                           # the TPU runs ahead of host-side saves
 
     def consume(paths, feats_dev):
         feats = np.asarray(feats_dev, np.float16)
@@ -296,41 +344,14 @@ def main(args):
             vid = vid[: vid.rfind(".")] if "." in vid else vid
             store.save(vid, feat)
 
-    def flush():
-        if not batch_paths:
-            return
-        pixels = np.stack(batch_pixels)  # (B, T, 3, H, W)
-        b = pixels.shape[0]
-        pixels = pixels.reshape(b, clips, lf, *pixels.shape[2:])
-        # async dispatch: featurize returns immediately; the transfer+save of
-        # the PREVIOUS batch happens while this one runs on the TPU
-        in_flight.append((list(batch_paths), featurize(jnp.asarray(pixels, jnp.bfloat16))))
-        batch_paths.clear()
-        batch_pixels.clear()
-        while len(in_flight) > 2:
-            consume(*in_flight.pop(0))
-
     def decode(path):
         return processor.preprocess(read_frames(path, args.num_frames, max_dur))
 
-    t0 = __import__("time").perf_counter()
-    n_ok = 0
-    prefetch = DecodePrefetcher(video_list, decode, workers=args.decode_workers)
-    for i, (path, pix, err) in enumerate(prefetch):
-        if err is not None:  # corrupt video -> skip (reference: extract.py:70-74)
-            print(f"Error loading video {path}: {err}")
-            continue
-        batch_pixels.append(pix)
-        batch_paths.append(path)
-        n_ok += 1
-        if len(batch_paths) == args.batch_size:
-            flush()
-        if i % args.save_iter == 0:
-            print(f"[{i}/{len(video_list)}]")
-    flush()
-    while in_flight:
-        consume(*in_flight.pop(0))
-    elapsed = __import__("time").perf_counter() - t0
+    n_ok, elapsed = run_extraction(
+        video_list, decode, featurize, consume,
+        batch_size=args.batch_size, clips=clips, local_frames=lf,
+        decode_workers=args.decode_workers, save_iter=args.save_iter,
+    )
     if args.bench and n_ok:
         import json
 
