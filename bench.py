@@ -532,10 +532,14 @@ def main():
             t2v_iv2=wrng.standard_normal((nw, nw)).astype(np.float32) + 0.01,
             v2t_iv2=wrng.standard_normal((nw, nw)).astype(np.float32) + 0.01,
         )
+        # warmup_shapes: the warm eval's own pair list covers only the shapes
+        # ITS data happens to hit — the trial's top-k list lands on different
+        # ladder rungs/classes, and each cold executable load stalls the FIFO
+        # wire mid-flow (engine.warmup_packed docstring)
         warmup_with_retry(lambda: evaluation(
             engine, warm, tok, dataset, topk=args.topk,
             cpn=not args.no_cpn, has_tvg=finetuned, verbose=False,
-            shared_prefix=not args.naive))
+            shared_prefix=not args.naive, warmup_shapes=not args.naive))
         # drop + drain the warmup's banks so their deallocs don't land
         # under trial 0's upload (see run_flow's trial-boundary barrier)
         import gc
@@ -578,8 +582,16 @@ def main():
                        shared_prefix=shared)
             return time.perf_counter() - t0
 
-        # compile both variants at this bank shape (excluded from timing)
-        warmup_with_retry(lambda: one(True, 0))
+        # compile both variants at this bank shape (excluded from timing);
+        # the shared warm pass also pre-touches every reachable packed
+        # executable (one(True, ...) does not take warmup_shapes — keep the
+        # A/B runs identical — so warm explicitly here)
+        def warm_shared():
+            inputs = make_inputs(mi, trial=999)
+            evaluation(engine, inputs, tok, dataset, topk=args.topk,
+                       cpn=not args.no_cpn, has_tvg=finetuned, verbose=False,
+                       shared_prefix=True, warmup_shapes=True)
+        warmup_with_retry(warm_shared)
         warmup_with_retry(lambda: one(False, 1))
         t_shared = t_naive = 0.0
         for r in range(rounds):

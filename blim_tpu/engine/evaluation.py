@@ -52,6 +52,7 @@ def evaluation(
     shared_prefix: bool = True,
     packed: bool = True,
     timings: Dict[str, float] | None = None,
+    warmup_shapes: bool = False,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     t_start = time.time()
     n = len(inputs.captions)
@@ -85,6 +86,21 @@ def evaluation(
         mark("upload_tvg")
         video_vocab = jnp.asarray(make_video_vocab(inputs.features), jnp.float32)
         mark("video_vocab")
+
+    if warmup_shapes and shared_prefix and packed:
+        # pre-touch every packed-step executable this bank shape can reach:
+        # which (size[, qcap], batch) combos a flow dispatches depends on the
+        # top-k pair list, and a cold executable's first call both blocks the
+        # dispatch thread and ships the binary over the same FIFO wire the
+        # results ride (engine.warmup_packed docstring has the measurements).
+        # Callers set this on an UNTIMED pass (e.g. the bench warmup) — the
+        # executables are keyed on bank shapes, so any later evaluation at
+        # the same item count runs fully warm.
+        engine.warmup_packed(
+            vtg_banks, tvg_banks if has_tvg else None,
+            video_vocab if has_tvg else None, topk=topk,
+            with_prior=cpn, item_video_idx=item_vid, verbose=verbose)
+        mark("warmup_shapes")
 
     t2v_dict: Dict[str, np.ndarray] = {}
     v2t_dict: Dict[str, np.ndarray] = {}

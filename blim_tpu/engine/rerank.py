@@ -391,6 +391,20 @@ def batch_plan(m: int, G: int, n_data: int):
     return plan
 
 
+def ladder_batches(G: int, n_data: int) -> Tuple[int, ...]:
+    """Every batch size batch_plan can emit for this (G, n_data): the full
+    batch plus the power-of-two halvings of the per-row ladder. Used by
+    warmup_packed to enumerate an executable set that covers any m."""
+    out = {G}
+    b = max(1, G // n_data)
+    while True:
+        out.add(b * n_data)
+        if b == 1:
+            break
+        b //= 2
+    return tuple(sorted(out))
+
+
 def unique_pairs(cap_idx: np.ndarray, vid_idx: np.ndarray):
     """Dedupe (caption, video) keys. Returns (uniq_cap, uniq_vid, inverse) —
     the same physical pair appears in both rerank directions
@@ -1014,6 +1028,9 @@ class RerankEngine:
         visible as keys (masked tokens' K/V are exactly excluded from
         attention, so not computing them is a pure reduction).
 
+        Reference semantics only — production goes through the vectorized
+        `_assemble_tvg_packs_bulk` (tests pin bulk == this loop).
+
         Returns (ids, seg, pos, q_seg, q_cap, q_vid, pair_positions)."""
         P_full = self.tvg_layout.prefix_len
         ids_h = banks["prefix_ids_host"]
@@ -1041,6 +1058,62 @@ class RerankEngine:
             qo += k
             pair_pos.append(pps)
         return ids, seg, pos, q_seg, q_cap, q_vid, np.concatenate(pair_pos)
+
+    def _assemble_tvg_packs_bulk(self, banks, packs, size: int, qn: int,
+                                 head_len: Optional[int] = None):
+        """Vectorized `_assemble_tvg_pack` over a whole (size, qn) class:
+        token-level and query-level scatters via repeat/cumsum index algebra
+        instead of a per-segment Python loop (which starved the device during
+        the fine-tuned flow's dispatch ramp — r4 profile_flow).
+
+        Returns (ids, seg, pos, q_seg, q_cap, q_vid) as (m, ...) arrays plus
+        pair_positions as a list of per-pack (k_i,) arrays."""
+        P_full = self.tvg_layout.prefix_len
+        ids_h = np.asarray(banks["prefix_ids_host"])
+        lens = np.asarray(banks["prefix_len_host"])
+        m = len(packs)
+        counts = np.asarray([len(segs) for segs in packs], np.int64)
+        seg_caps = np.asarray(
+            [c for segs in packs for c, _v, _p in segs], np.int64)
+        seg_pack = np.repeat(np.arange(m), counts)
+        L = lens[seg_caps].astype(np.int64)
+        S = L if head_len is None else np.minimum(head_len, L)
+        start = P_full - L
+        first_idx = np.cumsum(counts) - counts
+        seg_in_pack = np.arange(len(seg_caps)) - np.repeat(first_idx, counts)
+        cums = np.cumsum(S) - S
+        seg_start = cums - np.repeat(cums[first_idx], counts)
+        tok_seg = np.repeat(np.arange(len(seg_caps)), S)
+        tok_within = np.arange(int(S.sum())) - np.repeat(cums, S)
+        rows_t = seg_pack[tok_seg]
+        cols_t = seg_start[tok_seg] + tok_within
+        src_col = start[tok_seg] + tok_within
+        ids = np.zeros((m, size), np.int32)
+        seg = np.full((m, size), -1, np.int32)
+        pos = np.zeros((m, size), np.int32)
+        ids[rows_t, cols_t] = ids_h[seg_caps[tok_seg], src_col]
+        seg[rows_t, cols_t] = seg_in_pack[tok_seg].astype(np.int32)
+        pos[rows_t, cols_t] = src_col
+        # flat query lists
+        kcounts = np.asarray(
+            [len(v) for segs in packs for _c, v, _p in segs], np.int64)
+        q_pack = np.repeat(seg_pack, kcounts)
+        qcum = np.cumsum(kcounts) - kcounts
+        q_in_pack = np.arange(int(kcounts.sum())) - qcum[first_idx][q_pack]
+        q_seg = np.full((m, qn), -1, np.int32)
+        q_cap = np.zeros((m, qn), np.int32)
+        q_vid = np.zeros((m, qn), np.int32)
+        q_seg[q_pack, q_in_pack] = np.repeat(seg_in_pack, kcounts).astype(np.int32)
+        q_cap[q_pack, q_in_pack] = np.repeat(seg_caps, kcounts).astype(np.int32)
+        if len(kcounts):
+            q_vid[q_pack, q_in_pack] = np.concatenate(
+                [v for segs in packs for _c, v, _p in segs]).astype(np.int32)
+        pair_pos = [
+            np.concatenate([p for _c, _v, p in segs]) if segs else
+            np.zeros(0, np.int64)
+            for segs in packs
+        ]
+        return ids, seg, pos, q_seg, q_cap, q_vid, pair_pos
 
     def score_pairs_tvg_packed(
         self,
@@ -1096,10 +1169,8 @@ class RerankEngine:
                 packs = packs[lo:hi]
                 if not packs:
                     continue
-                rows = [
-                    self._assemble_tvg_pack(banks, segs, size, qn, head_len)
-                    for segs in packs
-                ]
+                *bulk, pair_pos = self._assemble_tvg_packs_bulk(
+                    banks, packs, size, qn, head_len)
                 # feed/HBM balance: pack KV (~59MB at T=512) plus the flat
                 # queries' fp32 score transients bound packs per step
                 G = max(1, min(self.pack_token_budget // (size + qn * W), 8))
@@ -1110,8 +1181,7 @@ class RerankEngine:
                     n_real = min(g, m - s)
                     sl = np.concatenate(
                         [np.arange(s, s + n_real), np.zeros(g - n_real, np.int64)])
-                    arrs = [np.stack([rows[i][j] for i in sl]) for j in range(6)]
-                    dev = [jax.device_put(a, gs2) for a in arrs]
+                    dev = [jax.device_put(a[sl], gs2) for a in bulk]
                     out = self._tvg_packed_step(
                         self.params, self.lora, first_ids, tvg_embeds,
                         video_vocab, *dev, cpn=cpn,
@@ -1120,7 +1190,7 @@ class RerankEngine:
                     self.flops += flops_lib.flat_query_suffix_flops(llm, g * qn, W, size)
                     self.flops += flops_lib.tvg_head_flops(self.config, g * qn * W, V)
                     pending.append(
-                        (out_vec, [rows[i][6] for i in sl[:n_real]], out)
+                        (out_vec, [pair_pos[i] for i in sl[:n_real]], out)
                     )
                     s += n_real
 
@@ -1550,7 +1620,13 @@ class RerankEngine:
 
     def _assemble_pack(self, banks, caps, size: int):
         """Concatenate caption suffixes into one (size,) packed row.
-        Returns (ids, seg, pos, labels) int32 arrays."""
+        Returns (ids, seg, pos, labels) int32 arrays.
+
+        Reference semantics only — production goes through the vectorized
+        `_assemble_packs_bulk` (tests/test_pack_schedule.py pins bulk ==
+        this loop); the per-segment numpy slicing here cost ~5s of host
+        time per fine-tuned eval at the bench shape, starving the device
+        during the dispatch ramp (r4 profile_flow)."""
         from blim_tpu.core.constants import IGNORE_INDEX
 
         ids_h = banks["suffix_ids_host"]
@@ -1571,6 +1647,47 @@ class RerankEngine:
             seg[o : o + L] = si
             pos[o : o + L] = off + np.arange(L)
             o += L
+        return ids, seg, pos, lab
+
+    def _assemble_packs_bulk(self, banks, packs, size: int):
+        """Vectorized `_assemble_pack` over a whole size class: all (m, size)
+        rows in one shot via token-level scatter (repeat/cumsum index
+        algebra), no per-segment Python loop. Returns (ids, seg, pos, labels)
+        as (m, size) int32 arrays."""
+        from blim_tpu.core.constants import IGNORE_INDEX
+
+        ids_h = np.asarray(banks["suffix_ids_host"])
+        labels_h = np.asarray(banks["suffix_labels_host"])
+        lens = np.asarray(banks["suffix_len_host"])
+        off = self.vtg_layout.prefix_len
+        m = len(packs)
+        counts = np.asarray([len(caps) for _, caps, _ in packs], np.int64)
+        if counts.sum() == 0:
+            z = np.zeros((m, size), np.int32)
+            return z, np.full((m, size), -1, np.int32), z.copy(), np.full(
+                (m, size), IGNORE_INDEX, np.int32)
+        seg_caps = np.concatenate(
+            [np.asarray(caps, np.int64) for _, caps, _ in packs])
+        seg_pack = np.repeat(np.arange(m), counts)
+        seg_lens = lens[seg_caps].astype(np.int64)
+        first_idx = np.cumsum(counts) - counts        # first segment per pack
+        seg_in_pack = np.arange(len(seg_caps)) - np.repeat(first_idx, counts)
+        cums = np.cumsum(seg_lens) - seg_lens          # global excl. cumsum
+        seg_start = cums - np.repeat(cums[first_idx], counts)  # within pack
+        tok_seg = np.repeat(np.arange(len(seg_caps)), seg_lens)
+        tok_within = np.arange(int(seg_lens.sum())) - np.repeat(cums, seg_lens)
+        rows_t = seg_pack[tok_seg]
+        cols_t = seg_start[tok_seg] + tok_within
+        ids = np.zeros((m, size), np.int32)
+        seg = np.full((m, size), -1, np.int32)
+        pos = np.zeros((m, size), np.int32)
+        lab = np.full((m, size), IGNORE_INDEX, np.int32)
+        ids[rows_t, cols_t] = ids_h[seg_caps[tok_seg], tok_within]
+        seg[rows_t, cols_t] = seg_in_pack[tok_seg].astype(np.int32)
+        pos[rows_t, cols_t] = off + tok_within
+        not_last = tok_within < seg_lens[tok_seg] - 1
+        lab[rows_t[not_last], cols_t[not_last]] = labels_h[
+            seg_caps[tok_seg[not_last]], tok_within[not_last]]
         return ids, seg, pos, lab
 
     def score_pairs_vtg_packed(
@@ -1649,18 +1766,18 @@ class RerankEngine:
         return batch_plan(m, G, self.n_data)
 
     def _run_pack_batches(self, packs, size, banks, G, run_step):
-        """Shared pack-dispatch loop: assemble rows, split the pack list into
-        ladder-sized batches (tail padded by repeating pack 0 — idempotent
-        scatter), call run_step(sl, stacked_arrays) per batch. Yields
-        (real pack indices, step output) pairs."""
-        rows = [self._assemble_pack(banks, caps, size) for _, caps, _ in packs]
+        """Shared pack-dispatch loop: assemble all rows (vectorized), split
+        the pack list into ladder-sized batches (tail padded by repeating
+        pack 0 — idempotent scatter), call run_step(sl, arrays) per batch.
+        Yields (real pack indices, step output) pairs."""
+        bulk = self._assemble_packs_bulk(banks, packs, size)
         m = len(packs)
         s = 0
         for g in self._batch_plan(m, G):
             n_real = min(g, m - s)
             sl = np.concatenate(
                 [np.arange(s, s + n_real), np.zeros(g - n_real, np.int64)])
-            arrs = tuple(np.stack([rows[i][j] for i in sl]) for j in range(4))
+            arrs = tuple(a[sl] for a in bulk)
             out = run_step(sl, arrs)
             yield sl[:n_real], out
             s += n_real
@@ -1713,6 +1830,195 @@ class RerankEngine:
             # pass with the feature bank's wire transfer (engine/evaluation.py)
             return finalize
         return finalize()
+
+    # -- shape warmup ---------------------------------------------------------
+
+    def packed_combo_sets(
+        self,
+        banks: Optional[Dict[str, Any]] = None,
+        tvg_banks: Optional[Dict[str, Any]] = None,
+        topk: int = 16,
+        trials: int = 24,
+        seed: int = 0,
+        with_prior: bool = True,
+        item_video_idx: Optional[np.ndarray] = None,
+    ) -> Dict[str, set]:
+        """Monte-Carlo union of the packed-step shape combos an evaluation
+        at this bank's caption-length profile can dispatch.
+
+        Which (size[, qcap], batch) executables a flow hits is DATA-DEPENDENT:
+        it follows from the top-k pair list via build_packs/build_tvg_packs
+        and the batch ladder. This simulates `trials` random bidirectional
+        top-k pair lists (the structure evaluation() builds from the IV2
+        grids) against the banks' REAL length arrays and unions the schedules,
+        mirroring the G formulas of the dispatch loops exactly.
+
+        Returns {"vtg": {(size, g)}, "vtg_prior": {(size, g)},
+                 "tvg": {(size, qcap, g)}, "tvg_prior": {(size, qcap, g)}}.
+        """
+        rng = np.random.default_rng(seed)
+        W = self.config.num_clips
+        out = {"vtg": set(), "vtg_prior": set(), "tvg": set(), "tvg_prior": set()}
+
+        def vtg_combos(key_idx, cap_idx, lens, P):
+            s = set()
+            for size, packs in build_packs(key_idx, cap_idx, lens, self.pack_sizes):
+                G = max(1, min(self.pack_token_budget // (P + size), 8)) * self.n_data
+                for g in batch_plan(len(packs), G, self.n_data):
+                    s.add((size, g))
+                # the ladder tail depends on m mod G — cover every rung
+                for g in ladder_batches(G, self.n_data):
+                    s.add((size, g))
+            return s
+
+        def tvg_combos(cap_idx, vid_idx, lens):
+            s = set()
+            for size, qn, packs in build_tvg_packs(
+                cap_idx, vid_idx, lens, self.tvg_pack_classes,
+                q_buckets=self.tvg_q_buckets,
+            ):
+                G = max(1, min(self.pack_token_budget // (size + qn * W), 8))
+                G *= self.n_data
+                for g in ladder_batches(G, self.n_data):
+                    s.add((size, qn, g))
+            return s
+
+        slen = None if banks is None else np.asarray(banks["suffix_len_host"])
+        plen = (None if tvg_banks is None
+                else np.asarray(tvg_banks["prefix_len_host"]))
+        if slen is None and plen is None:
+            return out
+        n = len(slen) if slen is not None else len(plen)
+        item_vid = (np.arange(n) if item_video_idx is None
+                    else np.asarray(item_video_idx))
+        hl = None if self.tvg_layout is None else self.tvg_layout.tvg_prefix_length
+        if slen is not None and with_prior:
+            # the caption-prior pass's pair list is data-INDEPENDENT
+            out["vtg_prior"] |= vtg_combos(
+                np.zeros(n, np.int64), np.arange(n), slen,
+                int(self.compute_prior_kv(self.vtg_layout)[1].shape[1]))
+        P_vtg = len(self.vtg_layout.prefix_token_ids())
+        for _ in range(trials):
+            v_rows, v_cols = topk_pairs(rng.standard_normal((n, n)), topk)
+            t_rows, t_cols = topk_pairs(rng.standard_normal((n, n)), topk)
+            u_cap, u_vid, _ = unique_pairs(
+                np.concatenate([v_cols, t_rows]),
+                np.concatenate([item_vid[v_rows], item_vid[t_cols]]))
+            if slen is not None:
+                out["vtg"] |= vtg_combos(u_vid, u_cap, slen, P_vtg)
+            if plen is not None:
+                out["tvg"] |= tvg_combos(u_cap, u_vid, plen)
+                if with_prior:
+                    if self.tvg_prior_dedup:
+                        lenk = plen[u_cap].astype(np.int64)
+                        uk = np.unique(np.stack(
+                            [lenk, u_vid.astype(np.int64)], axis=1), axis=0)
+                        rep: Dict[int, int] = {}
+                        for c in np.unique(u_cap):
+                            rep.setdefault(int(plen[c]), int(c))
+                        p_cap = np.array([rep[int(L)] for L, _v in uk], np.int64)
+                        p_vid = uk[:, 1]
+                    else:
+                        p_cap, p_vid = u_cap, u_vid
+                    out["tvg_prior"] |= tvg_combos(
+                        p_cap, p_vid, np.full(len(plen), hl, np.int32))
+        # the two TVG passes share executables (cpn is the only static split)
+        return out
+
+    def warmup_packed(
+        self,
+        banks: Optional[Dict[str, Any]] = None,
+        tvg_banks: Optional[Dict[str, Any]] = None,
+        video_vocab: Optional[jax.Array] = None,
+        topk: int = 16,
+        trials: int = 24,
+        seed: int = 0,
+        with_prior: bool = True,
+        item_video_idx: Optional[np.ndarray] = None,
+        verbose: bool = False,
+    ) -> int:
+        """Dispatch one dummy (all-padding) step per reachable packed-step
+        executable so scoring never pays a first-call executable load
+        mid-flow. Returns the number of executables touched.
+
+        Through the remote compile cache each unseen jit shape's FIRST call
+        blocks the dispatch thread 0.3-0.5s while the executable ships over
+        the tunnel — and that transfer contends with compute results on the
+        one FIFO wire, starving the device (r4 probe: a fresh 256-query
+        fine-tuned pair list spent 5.8s of tvg_dispatch + most of a 17.9s
+        drain on cold shapes; the identical pass with every shape warm
+        dispatched in 0.37s and drained in 6.5s). Executables are keyed on
+        the bank tensor shapes, so re-warm after uploading banks with a
+        different caption count. Warm-data evaluation alone does NOT cover
+        this: the trial's top-k pair list differs, so its pack remainders
+        hit different ladder rungs and (size, qcap) classes.
+        """
+        combos = self.packed_combo_sets(
+            banks, tvg_banks, topk=topk, trials=trials, seed=seed,
+            with_prior=with_prior, item_video_idx=item_video_idx)
+        gs1 = NamedSharding(self.mesh, P(DATA_AXIS))
+        gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        gs4 = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
+        from blim_tpu.core.constants import IGNORE_INDEX
+
+        def pack_rows(g, size):
+            ids = jax.device_put(np.zeros((g, size), np.int32), gs2)
+            seg = jax.device_put(np.full((g, size), -1, np.int32), gs2)
+            pos = jax.device_put(np.zeros((g, size), np.int32), gs2)
+            lab = jax.device_put(np.full((g, size), IGNORE_INDEX, np.int32), gs2)
+            return ids, seg, pos, lab
+
+        last = None
+        count = 0
+        if banks is not None:
+            self.flush_feats(banks)
+            prefix_ids, prefix_mask = self._vtg_prefix_arrays()
+            stream = "feats" not in banks
+            dev_banks = self._dev_banks(banks)
+            for size, g in sorted(combos["vtg"]):
+                ids, seg, pos, lab = pack_rows(g, size)
+                if stream:
+                    vi = jax.device_put(
+                        banks["feats_host"][np.zeros(g, np.int64)], gs4)
+                else:
+                    vi = jax.device_put(jnp.zeros((g,), jnp.int32), gs1)
+                last = self._vtg_packed_step(
+                    self.params, self.lora, dev_banks, prefix_ids, prefix_mask,
+                    vi, ids, seg, pos, lab,
+                    n_segments=size // 4, video_direct=stream)
+                count += 1
+            if combos["vtg_prior"]:
+                prior_kv, prior_mask = self.compute_prior_kv(self.vtg_layout)
+                for size, g in sorted(combos["vtg_prior"]):
+                    ids, seg, pos, lab = pack_rows(g, size)
+                    last = self._vtg_prior_packed_step(
+                        self.params, self.lora, prior_kv, prior_mask,
+                        ids, seg, pos, lab, n_segments=size // 4)
+                    count += 1
+        if tvg_banks is not None and video_vocab is not None:
+            first_ids = tvg_banks["first_ids"]
+            tvg_embeds = tvg_banks["tvg_embeds"]
+            for key, cpn in (("tvg", False), ("tvg_prior", True)):
+                if cpn and not with_prior:
+                    continue
+                for size, qn, g in sorted(combos[key]):
+                    ids, seg, pos, _ = pack_rows(g, size)
+                    q_seg = jax.device_put(np.full((g, qn), -1, np.int32), gs2)
+                    q_cap = jax.device_put(np.zeros((g, qn), np.int32), gs2)
+                    q_vid = jax.device_put(np.zeros((g, qn), np.int32), gs2)
+                    last = self._tvg_packed_step(
+                        self.params, self.lora, first_ids, tvg_embeds,
+                        video_vocab, ids, seg, pos, q_seg, q_cap, q_vid,
+                        cpn=cpn)
+                    count += 1
+        if last is not None:
+            # executions are FIFO per device: fetching the last output drains
+            # every warm step (block_until_ready is a no-op via the tunnel)
+            np.asarray(jax.tree_util.tree_leaves(last)[-1])
+        if verbose:
+            sizes = {k: len(v) for k, v in combos.items()}
+            print(f"warmup_packed: {count} executables ({sizes})")
+        return count
 
     def score_grid_vtg_shared(
         self,

@@ -150,3 +150,160 @@ def test_batch_plan_ladder():
                 # padding only in the final sub-n_data remainder (the old
                 # pad-to-G scheme wasted up to G-1 pack forwards)
                 assert cov - m < n_data, (m, G, plan)
+
+
+def test_bulk_assembly_matches_loop_vtg_and_tvg(tokenizer):
+    """The vectorized pack assemblers must be byte-identical to the
+    per-segment loops they replaced (r4: the loops cost ~5s of host time
+    per fine-tuned eval, starving the device during the dispatch ramp)."""
+    import jax
+
+    from blim_tpu.core.config import tiny_model_config
+    from blim_tpu.core.mesh import make_mesh
+    from blim_tpu.data.prompts import make_tvg_layout, make_vtg_layout
+    from blim_tpu.engine.rerank import (
+        CaptionBank, RerankEngine, build_packs, build_tvg_packs,
+    )
+    from blim_tpu.models import videochat_flash as vcf
+
+    rng = np.random.default_rng(0)
+    n = 40
+    words = ["cat", "dog", "runs", "jumps", "a", "man", "kitchen", "slowly"]
+    caps = [
+        " ".join(words[rng.integers(len(words))] for _ in range(rng.integers(3, 14)))
+        for _ in range(n)
+    ]
+    cfg = tiny_model_config(vocab_size=152064, num_clips=4)
+    vtg_l = make_vtg_layout(tokenizer, "MSRVTT", cfg.video_tokens_vtg, 48)
+    tvg_l = make_tvg_layout(tokenizer, cfg.num_clips, 48)
+    params = vcf.init_params(cfg, jax.random.key(0))
+    engine = RerankEngine(params, cfg, vtg_l, tvg_l,
+                          make_mesh(devices=jax.devices()[:1]))
+
+    vtg_bank = CaptionBank.build_vtg(caps, tokenizer, "MSRVTT", vtg_l)
+    banks = {
+        "suffix_ids_host": vtg_bank.suffix_ids,
+        "suffix_labels_host": vtg_bank.suffix_labels,
+        "suffix_len_host": vtg_bank.suffix_mask.sum(axis=1).astype(np.int32),
+    }
+    cap_idx = rng.integers(0, n, 120)
+    vid_idx = rng.integers(0, 10, 120)
+    for size, packs in build_packs(vid_idx, cap_idx,
+                                   banks["suffix_len_host"], engine.pack_sizes):
+        bulk = engine._assemble_packs_bulk(banks, packs, size)
+        for i, (_key, cc, _pos) in enumerate(packs):
+            loop = engine._assemble_pack(banks, cc, size)
+            for a, b in zip(loop, (x[i] for x in bulk)):
+                np.testing.assert_array_equal(a, b)
+
+    tvg_bank = CaptionBank.build_tvg(caps, tokenizer, tvg_l)
+    tbanks = {
+        "prefix_ids_host": tvg_bank.prefix_ids,
+        "prefix_len_host": tvg_bank.prefix_mask.sum(axis=1).astype(np.int32),
+    }
+    for head_len in (None, tvg_l.tvg_prefix_length):
+        eff = (tbanks["prefix_len_host"] if head_len is None
+               else np.full(n, head_len, np.int32))
+        for size, qn, packs in build_tvg_packs(
+            cap_idx, vid_idx, eff, engine.tvg_pack_classes,
+            q_buckets=engine.tvg_q_buckets,
+        ):
+            *bulk, ppos = engine._assemble_tvg_packs_bulk(
+                tbanks, packs, size, qn, head_len)
+            for i, segs in enumerate(packs):
+                loop = engine._assemble_tvg_pack(tbanks, segs, size, qn, head_len)
+                for a, b in zip(loop[:6], (x[i] for x in bulk)):
+                    np.testing.assert_array_equal(a, b)
+                np.testing.assert_array_equal(loop[6], ppos[i])
+    engine.close()
+
+
+def test_ladder_batches_covers_batch_plan():
+    from blim_tpu.engine.rerank import batch_plan, ladder_batches
+
+    for G in (1, 2, 3, 5, 8, 16):
+        for n_data in (1, 2, 4):
+            rungs = set(ladder_batches(G, n_data))
+            for m in range(1, 4 * G + 2):
+                assert set(batch_plan(m, G, n_data)) <= rungs, (G, n_data, m)
+
+
+def test_warmup_packed_covers_evaluation_dispatch(tokenizer):
+    """packed_combo_sets' Monte-Carlo union must cover every executable a
+    real evaluation dispatches (else the warmup misses shapes and the flow
+    pays a mid-flight executable load — r4 probe: 0.3-0.5s per cold shape,
+    and the binary transfer starves the device on the tunnel's FIFO wire)."""
+    import jax
+
+    from blim_tpu.core.config import tiny_model_config
+    from blim_tpu.core.mesh import make_mesh
+    from blim_tpu.data.prompts import make_tvg_layout, make_vtg_layout
+    from blim_tpu.engine.evaluation import EvalInputs, evaluation
+    from blim_tpu.engine.rerank import RerankEngine
+    from blim_tpu.models import videochat_flash as vcf
+
+    rng = np.random.default_rng(11)
+    n, topk = 24, 4
+    words = ["cat", "dog", "runs", "jumps", "a", "man", "kitchen", "slowly"]
+    caps = [
+        " ".join(words[rng.integers(len(words))]
+                 for _ in range(rng.integers(3, 14)))
+        for _ in range(n)
+    ]
+    cfg = tiny_model_config(vocab_size=152064, num_clips=4)
+    vtg_l = make_vtg_layout(tokenizer, "MSRVTT", cfg.video_tokens_vtg, 48)
+    tvg_l = make_tvg_layout(tokenizer, cfg.num_clips, 48)
+    params = vcf.init_params(cfg, jax.random.key(0))
+    engine = RerankEngine(params, cfg, vtg_l, tvg_l,
+                          make_mesh(devices=jax.devices()[:1]), batch_size=8)
+    feats = (rng.standard_normal(
+        (n, cfg.num_clips, cfg.tokens_per_clip, cfg.mm_hidden_size))
+        * 0.5).astype(np.float32)
+
+    seen = {"vtg": set(), "vtg_prior": set(), "tvg": set()}
+    orig_v, orig_p, orig_t = (engine._vtg_packed_step,
+                              engine._vtg_prior_packed_step,
+                              engine._tvg_packed_step)
+
+    def rec_v(params, lora, dev_banks, pid, pm, vi, ids, *a, **kw):
+        seen["vtg"].add((ids.shape[1], ids.shape[0]))
+        return orig_v(params, lora, dev_banks, pid, pm, vi, ids, *a, **kw)
+
+    def rec_p(params, lora, kv, m, ids, *a, **kw):
+        seen["vtg_prior"].add((ids.shape[1], ids.shape[0]))
+        return orig_p(params, lora, kv, m, ids, *a, **kw)
+
+    def rec_t(params, lora, fi, te, vv, ids, seg, pos, q_seg, *a, **kw):
+        seen["tvg"].add((ids.shape[1], q_seg.shape[1], ids.shape[0]))
+        return orig_t(params, lora, fi, te, vv, ids, seg, pos, q_seg, *a, **kw)
+
+    engine._vtg_packed_step = rec_v
+    engine._vtg_prior_packed_step = rec_p
+    engine._tvg_packed_step = rec_t
+    try:
+        for trial in range(3):
+            r = np.random.default_rng(trial)
+            inputs = EvalInputs(
+                captions=caps, item_video_idx=np.arange(n), features=feats,
+                t2v_iv2=r.standard_normal((n, n)).astype(np.float32),
+                v2t_iv2=r.standard_normal((n, n)).astype(np.float32))
+            evaluation(engine, inputs, tokenizer, "MSRVTT", topk=topk,
+                       cpn=True, has_tvg=True, verbose=False)
+    finally:
+        engine._vtg_packed_step = orig_v
+        engine._vtg_prior_packed_step = orig_p
+        engine._tvg_packed_step = orig_t
+
+    from blim_tpu.engine.rerank import CaptionBank
+
+    vtg_bank = CaptionBank.build_vtg(caps, tokenizer, "MSRVTT", vtg_l)
+    banks = engine.upload(vtg_bank, feats)
+    tvg_bank = CaptionBank.build_tvg(caps, tokenizer, tvg_l)
+    tbanks = engine.upload(tvg_bank, feats, shared_feats=banks)
+    combos = engine.packed_combo_sets(banks, tbanks, topk=topk, trials=24)
+    assert seen["vtg"] <= combos["vtg"], seen["vtg"] - combos["vtg"]
+    assert seen["vtg_prior"] <= combos["vtg_prior"], (
+        seen["vtg_prior"] - combos["vtg_prior"])
+    assert seen["tvg"] <= combos["tvg"] | combos["tvg_prior"], (
+        seen["tvg"] - combos["tvg"] - combos["tvg_prior"])
+    engine.close()
