@@ -181,7 +181,9 @@ def bench_featurizer(args, cfg, dtype, n_chips, peak):
     vit = jax.jit(lambda k: umt_vit.init_params(cfg.vision, k, dtype))(jax.random.key(3))
     jax.block_until_ready(vit)
     feat = make_featurizer(vit, cfg)
-    B = 2
+    # B=16 measured best on v5e (7.42 videos/s vs 6.90 at B=2, same-session
+    # sweep, scripts/abench_featurizer.py / docs/PERF_NOTES_R4.md)
+    B = 2 if args.tiny else 16
     rng = np.random.default_rng(1)
     pix = [
         jnp.asarray(rng.standard_normal(
@@ -213,7 +215,10 @@ def bench_featurizer(args, cfg, dtype, n_chips, peak):
     print(json.dumps(line))
     print(f"# featurizer: {best*1e3:.1f} ms/batch", file=sys.stderr)
 
-    bench_extract_e2e(args, cfg, feat, B, n_chips, vps)
+    # e2e keeps batch 2: 32 videos / B=16 would be two dispatches, all
+    # startup; the compute rate barely differs (6.90 vs 7.42 videos/s), so
+    # vps at B=16 stays the (slightly strict) compute-only denominator
+    bench_extract_e2e(args, cfg, feat, 2, n_chips, vps, dtype)
 
     del vit, feat
     import gc
@@ -221,10 +226,12 @@ def bench_featurizer(args, cfg, dtype, n_chips, peak):
     gc.collect()
 
 
-def bench_extract_e2e(args, cfg, feat, B, n_chips, compute_vps):
+def bench_extract_e2e(args, cfg, feat, B, n_chips, compute_vps, dtype):
     """End-to-end extraction: decode (cv2 threads) + preprocess (resize to
     tower res + normalize) + featurize, through the production
     run_extraction pipeline (lag-2 in-flight window, DecodePrefetcher)."""
+    import jax.numpy as jnp
+
     from blim_tpu.models.umt_vit import UMTImageProcessor
     from blim_tpu.pipelines.extract import read_frames, run_extraction
 
@@ -243,8 +250,13 @@ def bench_extract_e2e(args, cfg, feat, B, n_chips, compute_vps):
     def on_features(_paths, dev):
         np.asarray(dev, np.float16)  # force the device->host transfer
 
-    # one warm pass is NOT taken: e2e includes cold decode by design; the
-    # featurize executable is already compiled at this exact batch shape
+    # pre-compile the featurize executable at the e2e batch shape (the
+    # featurizer line above compiled a different batch); compile time must
+    # not land inside the timed pipeline. One warm pass of decode is NOT
+    # taken: e2e includes cold decode by design.
+    np.asarray(feat(jnp.zeros(
+        (B, cfg.num_clips, cfg.mm_local_num_frames, 3,
+         cfg.vision.image_size, cfg.vision.image_size), dtype)))
     n_ok, elapsed = run_extraction(
         paths, decode, feat, on_features, batch_size=B,
         clips=cfg.num_clips, local_frames=cfg.mm_local_num_frames,

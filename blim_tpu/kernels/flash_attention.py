@@ -53,6 +53,7 @@ def _fwd_kernel(
     seq_len: int,
     causal: bool,
     scale: float,
+    unroll: bool = False,
 ):
     qi = pl.program_id(2)
     q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
@@ -100,7 +101,16 @@ def _fwd_kernel(
     acc = jnp.zeros((blk_q, d), jnp.float32)
     m0 = jnp.full((blk_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((blk_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc, m0, l0))
+    if unroll and not causal:
+        # static Python unroll: straight-line code lets Mosaic's scheduler
+        # overlap chunk i+1's QK^T (MXU) with chunk i's softmax (VPU) — the
+        # fori_loop body is a serial MXU->VPU->MXU chain per iteration
+        carry = (acc, m0, l0)
+        for ki in range(seq_len // blk_k):
+            carry = body(ki, carry)
+        acc, m, l = carry
+    else:
+        acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc, m0, l0))
 
     l_safe = jnp.maximum(l, 1e-30)
     out = acc / l_safe
@@ -116,7 +126,7 @@ def _fwd_kernel(
 
 
 def _flash_forward(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k,
-                   with_lse: bool, interpret: bool = False):
+                   with_lse: bool, interpret: bool = False, unroll: bool = False):
     b, s, hq, d = q.shape
     hkv = k.shape[2]
     group = hq // hkv
@@ -143,7 +153,8 @@ def _flash_forward(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k,
         if query_mask is None:
             query_mask = jnp.ones((b, s), jnp.int32)
     kernel = functools.partial(
-        kernel, blk_q=blk_q, blk_k=blk_k, seq_len=s, causal=causal, scale=scale
+        kernel, blk_q=blk_q, blk_k=blk_k, seq_len=s, causal=causal, scale=scale,
+        unroll=unroll,
     )
     in_specs = [
         pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
@@ -406,11 +417,12 @@ def _flash_backward(q, k, v, key_mask, query_mask, out, lse, g,
 # custom-VJP plumbing
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _flash_attention(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k,
-                     interpret):
+                     interpret, unroll):
     return _flash_forward(q, k, v, key_mask, query_mask, causal, scale,
-                          blk_q, blk_k, with_lse=False, interpret=interpret)
+                          blk_q, blk_k, with_lse=False, interpret=interpret,
+                          unroll=unroll)
 
 
 def _xla_reference(q, k, v, key_mask, query_mask, causal, scale):
@@ -420,13 +432,14 @@ def _xla_reference(q, k, v, key_mask, query_mask, causal, scale):
 
 
 def _vjp_fwd(q, k, v, key_mask, query_mask, causal, scale, blk_q, blk_k,
-             interpret):
+             interpret, unroll):
     out, lse = _flash_forward(q, k, v, key_mask, query_mask, causal, scale,
-                              blk_q, blk_k, with_lse=True, interpret=interpret)
+                              blk_q, blk_k, with_lse=True, interpret=interpret,
+                              unroll=unroll)
     return out, (q, k, v, key_mask, query_mask, out, lse)
 
 
-def _vjp_bwd(causal, scale, blk_q, blk_k, interpret, res, g):
+def _vjp_bwd(causal, scale, blk_q, blk_k, interpret, unroll, res, g):
     q, k, v, key_mask, query_mask, out, lse = res
     dq, dk, dv = _flash_backward(q, k, v, key_mask, query_mask, out, lse, g,
                                  causal, scale, blk_q, blk_k, interpret=interpret)
@@ -473,6 +486,7 @@ def flash_attention(
     blk_q: int = 128,
     blk_k: int = 128,
     interpret: bool = False,
+    unroll: Optional[bool] = None,
 ) -> jax.Array:
     """q (B,S,Hq,D); k,v (B,S,Hkv,D); masks (B,S) -> (B,S,Hq,D).
 
@@ -483,10 +497,18 @@ def flash_attention(
         scale = d ** -0.5
     dense = key_mask is None and query_mask is None
     if not causal and dense and s * d * 4 <= 4 * 2**20 and s % 64 == 0:
-        # non-causal dense (the ViT): whole-K/V-in-VMEM with a large q tile is
-        # ~2x faster than XLA at res448 (33 vs 68 ms/layer measured on v5e)
-        blk_k = s
-        blk_q = next((c for c in range(512, 7, -8) if s % c == 0), blk_q)
+        # non-causal dense (the ViT): whole-K/V stays in VMEM; iterate it in
+        # static chunks, Python-unrolled, so Mosaic can overlap chunk i+1's
+        # QK^T (MXU) with chunk i's softmax (VPU) — the whole-KV single block
+        # serializes that chain (see scripts/abench_vit_attn.py for the A/B).
+        if blk_k == 128 and blk_q == 128:  # caller left defaults
+            blk_q = next((c for c in range(512, 7, -8) if s % c == 0), blk_q)
+            blk_k = next(
+                (c for c in range(448, s + 1, 8) if s % c == 0), s
+            )
+            if unroll is None:
+                unroll = True
+    unroll = bool(unroll) and not causal
     # small problems: kernel launch + padding overhead beats any win. Head-dim
     # gate: blocks span the full d, which Mosaic accepts for any d, but
     # sub-64 lanes waste the MXU — d=64 (the ViT) and d=128 (the LLM) pass.
@@ -508,5 +530,5 @@ def flash_attention(
     blk_q = min(blk_q, s_run)
     blk_k = min(blk_k, s_run)
     out = _flash_attention(q, k, v, key_mask, query_mask, causal, scale,
-                           blk_q, blk_k, interpret)
+                           blk_q, blk_k, interpret, unroll)
     return out[:, :s_orig] if s_run != s_orig else out
