@@ -45,6 +45,37 @@ def test_vit_dense_shape_engages_kernel():
     assert _has_pallas_call(jaxpr.jaxpr), "ViT dense shape fell back to XLA"
 
 
+def _find_pallas_eqn(jaxpr):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "pallas_call":
+            return eqn
+        for v in eqn.params.values():
+            inner = getattr(v, "jaxpr", None)
+            if inner is not None:
+                found = _find_pallas_eqn(inner)
+                if found is not None:
+                    return found
+    return None
+
+
+def test_vit_dense_shape_unrolls_kv_chunks():
+    """The dense non-causal dispatch must pick the statically unrolled
+    KV-chunk body (straight-line MXU/VPU overlap, r4): the kernel jaxpr
+    carries one QK^T + one PV dot per chunk and NO loop primitive — a
+    fori_loop body would show exactly 2 dots inside a scan/while."""
+    q, k, v = _zeros(1, 3136, 16, 16, 64)
+    jaxpr = jax.make_jaxpr(
+        lambda q, k, v: fa.flash_attention(q, k, v, causal=False)
+    )(q, k, v)
+    eqn = _find_pallas_eqn(jaxpr.jaxpr)
+    assert eqn is not None, "ViT dense shape fell back to XLA"
+    kernel = eqn.params["jaxpr"]
+    prims = {e.primitive.name for e in kernel.eqns}
+    assert not ({"while", "scan"} & prims), "KV loop was not unrolled"
+    n_dots = sum(1 for e in kernel.eqns if e.primitive.name == "dot_general")
+    assert n_dots >= 4, f"expected unrolled per-chunk dots, got {n_dots}"
+
+
 def test_llm_masked_causal_shape_engages_kernel():
     """The 7B GQA shape (d=128) with padding masks, causal."""
     q, k, v = _zeros(2, 341, 28, 4, 128)
