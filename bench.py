@@ -218,7 +218,7 @@ def bench_featurizer(args, cfg, dtype, n_chips, peak):
     # e2e keeps batch 2: 32 videos / B=16 would be two dispatches, all
     # startup; the compute rate barely differs (6.90 vs 7.42 videos/s), so
     # vps at B=16 stays the (slightly strict) compute-only denominator
-    bench_extract_e2e(args, cfg, feat, 2, n_chips, vps, dtype)
+    bench_extract_e2e(args, cfg, vit, 2, n_chips, vps)
 
     del vit, feat
     import gc
@@ -226,14 +226,16 @@ def bench_featurizer(args, cfg, dtype, n_chips, peak):
     gc.collect()
 
 
-def bench_extract_e2e(args, cfg, feat, B, n_chips, compute_vps, dtype):
-    """End-to-end extraction: decode (cv2 threads) + preprocess (resize to
-    tower res + normalize) + featurize, through the production
-    run_extraction pipeline (lag-2 in-flight window, DecodePrefetcher)."""
+def bench_extract_e2e(args, cfg, vit, B, n_chips, compute_vps):
+    """End-to-end extraction: decode (cv2 threads) + uint8 resize +
+    featurize-with-device-preprocess, through the production run_extraction
+    pipeline (lag-2 in-flight window, DecodePrefetcher). Host-side
+    normalize measured ~5x the decode cost on the 1-core host
+    (docs/PERF_NOTES_R4.md §2) — production runs it on the TPU."""
     import jax.numpy as jnp
 
     from blim_tpu.models.umt_vit import UMTImageProcessor
-    from blim_tpu.pipelines.extract import read_frames, run_extraction
+    from blim_tpu.pipelines.extract import make_featurizer, read_frames, run_extraction
 
     n_vid = 8 if args.tiny else 32
     try:
@@ -243,20 +245,21 @@ def bench_extract_e2e(args, cfg, feat, B, n_chips, compute_vps, dtype):
         return
     proc = UMTImageProcessor(size=(cfg.vision.image_size,) * 2)
     n_frames = cfg.num_clips * cfg.mm_local_num_frames
+    feat = make_featurizer(vit, cfg, device_preprocess=True)
 
     def decode(p):
-        return proc.preprocess(read_frames(p, n_frames))
+        return proc.resize_frames(read_frames(p, n_frames))
 
     def on_features(_paths, dev):
         np.asarray(dev, np.float16)  # force the device->host transfer
 
     # pre-compile the featurize executable at the e2e batch shape (the
-    # featurizer line above compiled a different batch); compile time must
-    # not land inside the timed pipeline. One warm pass of decode is NOT
-    # taken: e2e includes cold decode by design.
+    # featurizer line above compiled a different batch + input dtype);
+    # compile time must not land inside the timed pipeline. One warm pass
+    # of decode is NOT taken: e2e includes cold decode by design.
     np.asarray(feat(jnp.zeros(
-        (B, cfg.num_clips, cfg.mm_local_num_frames, 3,
-         cfg.vision.image_size, cfg.vision.image_size), dtype)))
+        (B, cfg.num_clips, cfg.mm_local_num_frames,
+         cfg.vision.image_size, cfg.vision.image_size, 3), jnp.uint8)))
     n_ok, elapsed = run_extraction(
         paths, decode, feat, on_features, batch_size=B,
         clips=cfg.num_clips, local_frames=cfg.mm_local_num_frames,
@@ -266,9 +269,9 @@ def bench_extract_e2e(args, cfg, feat, B, n_chips, compute_vps, dtype):
     line = {
         "metric": "extract_videos_per_sec_e2e",
         "value": round(e2e, 3),
-        "unit": f"videos/s/chip end-to-end (cv2 decode + preprocess + "
-                f"featurize, {n_ok} synthesized mp4s, 4 decode threads, "
-                f"batch {B})",
+        "unit": f"videos/s/chip end-to-end (cv2 decode + uint8 resize + "
+                f"device-side normalize + featurize, {n_ok} synthesized "
+                f"mp4s, 4 decode threads, batch {B})",
         # baseline: the XLA compute-only featurizer rate (2.99 videos/s/chip)
         # — an e2e rate above it means decode fully hides behind compute
         "vs_baseline": round(e2e / 2.99, 3),

@@ -284,18 +284,37 @@ class UMTImageProcessor:
         """frames: (T, H, W, 3) uint8 -> (T, 3, h, w) float32."""
         h, w = target_size or self.size
         out = np.empty((len(frames), 3, h, w), np.float32)
+        resized = self.resize_frames(frames, (h, w))
+        for i, f in enumerate(resized):
+            arr = f.astype(np.float32) / 255.0
+            out[i] = ((arr - self.image_mean) / self.image_std).transpose(2, 0, 1)
+        return out
+
+    def resize_frames(self, frames: np.ndarray, target_size: Optional[Tuple[int, int]] = None) -> np.ndarray:
+        """frames: (T, H, W, 3) uint8 -> (T, h, w, 3) uint8, bicubic.
+
+        The cheap half of `preprocess`: resize only, staying in uint8 (the
+        reference also resizes in the uint8 image domain,
+        vision_tower_builder.py:441-477). Rescale + ImageNet-normalize +
+        channels-first belong on the device — host-side they cost ~5x the
+        decode itself (fp32 temporaries over 38MB/video on a 1-core host);
+        folded into the jitted featurizer XLA fuses them into the
+        patch-embed convolution for free (`make_featurizer(...,
+        device_preprocess=True)`)."""
+        h, w = target_size or self.size
+        if frames.shape[1] == h and frames.shape[2] == w:
+            return frames
+        out = np.empty((len(frames), h, w, 3), np.uint8)
         try:
             from PIL import Image
 
             for i, f in enumerate(frames):
-                img = Image.fromarray(f).resize((w, h), Image.BICUBIC)
-                arr = np.asarray(img, np.float32) / 255.0
-                out[i] = ((arr - self.image_mean) / self.image_std).transpose(2, 0, 1)
+                out[i] = np.asarray(Image.fromarray(f).resize((w, h), Image.BICUBIC))
         except ImportError:
             mh = cubic_resize_matrix(frames.shape[1], h)
             mw = cubic_resize_matrix(frames.shape[2], w)
             for i, f in enumerate(frames):
                 arr = np.einsum("oh,hwc->owc", mh, f.astype(np.float32))
-                arr = np.einsum("ow,hwc->hoc", mw, arr) / 255.0
-                out[i] = ((arr - self.image_mean) / self.image_std).transpose(2, 0, 1)
+                arr = np.einsum("ow,hwc->hoc", mw, arr)
+                out[i] = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
         return out

@@ -216,9 +216,17 @@ def chunk_list(items: List[str], num_chunk: int, chunk_idx: int) -> List[str]:
     return items[start:end]
 
 
-def make_featurizer(vit_params, config, use_pallas=None):
+def make_featurizer(vit_params, config, use_pallas=None, device_preprocess=False):
     """Jitted (B, clips, local_frames, 3, H, W) pixels -> (B, clips, tokens, mm)
-    cached features: tower + ToMe, pre-MLP (`return_video_feature=True`)."""
+    cached features: tower + ToMe, pre-MLP (`return_video_feature=True`).
+
+    With ``device_preprocess=True`` the jitted fn instead takes
+    (B, clips, local_frames, H, W, 3) **uint8** frames (channels-last, as
+    decoded) and performs rescale + ImageNet-normalize + channels-first on
+    the TPU — XLA fuses all of it into the patch-embed convolution, and the
+    host sheds the fp32 normalize that otherwise costs ~5x the decode
+    (see UMTImageProcessor.resize_frames). Uploads also halve (uint8 vs
+    bf16)."""
     import jax
     import jax.numpy as jnp
 
@@ -228,9 +236,16 @@ def make_featurizer(vit_params, config, use_pallas=None):
     vcfg = config.vision
     pos_video, _ = umt_vit.build_pos_tables(vcfg)
     pos = jnp.asarray(pos_video, jnp.float32)
+    dtype = jax.tree_util.tree_leaves(vit_params)[0].dtype
+    mean = jnp.asarray(umt_vit.IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(umt_vit.IMAGENET_STD, jnp.float32)
 
     @jax.jit
     def featurize(params, pixels):
+        if device_preprocess:
+            x = pixels.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            pixels = x.transpose(0, 1, 2, 5, 3, 4).astype(dtype)
         b, clips, lf, ch, h, w = pixels.shape
         flat = pixels.reshape(b * clips, lf, ch, h, w)
         feats = umt_vit.encode_clips(params, flat, pos, vcfg, use_pallas=use_pallas)
@@ -264,13 +279,16 @@ def run_extraction(video_list, decode_fn, featurize, on_features, *,
     def flush():
         if not batch_paths:
             return
-        pixels = np.stack(batch_pixels)  # (B, T, 3, H, W)
+        pixels = np.stack(batch_pixels)  # (B, T, 3, H, W) f32 or (B, T, H, W, 3) u8
         b = pixels.shape[0]
         pixels = pixels.reshape(b, clips, local_frames, *pixels.shape[2:])
+        # uint8 stays uint8: the device_preprocess featurizer normalizes on
+        # the TPU and the upload is half the bf16 size
+        dev = jnp.asarray(pixels) if pixels.dtype == np.uint8 else jnp.asarray(
+            pixels, jnp.bfloat16)
         # async dispatch: featurize returns immediately; the transfer+save of
         # the PREVIOUS batch happens while this one runs on the TPU
-        in_flight.append(
-            (list(batch_paths), featurize(jnp.asarray(pixels, jnp.bfloat16))))
+        in_flight.append((list(batch_paths), featurize(dev)))
         batch_paths.clear()
         batch_pixels.clear()
         while len(in_flight) > 2:
@@ -328,7 +346,7 @@ def main(args):
         vit_params = umt_vit.init_params(config.vision, jax.random.key(0), jnp.bfloat16)
 
     processor = umt_vit.UMTImageProcessor(size=(config.vision.image_size,) * 2)
-    featurize = make_featurizer(vit_params, config)
+    featurize = make_featurizer(vit_params, config, device_preprocess=True)
     out_dir = f"{args.data_root}/{args.dataset}/features"
     os.makedirs(out_dir, exist_ok=True)
     store = FeatureStore(out_dir)
@@ -345,7 +363,7 @@ def main(args):
             store.save(vid, feat)
 
     def decode(path):
-        return processor.preprocess(read_frames(path, args.num_frames, max_dur))
+        return processor.resize_frames(read_frames(path, args.num_frames, max_dur))
 
     n_ok, elapsed = run_extraction(
         video_list, decode, featurize, consume,

@@ -110,3 +110,31 @@ def test_image_processor_normalizes():
     assert out.shape == (2, 3, 32, 32)
     assert out.dtype == np.float32
     assert -4 < out.min() and out.max() < 4  # ImageNet-normalized range
+
+
+def test_device_preprocess_matches_host_preprocess():
+    """make_featurizer(device_preprocess=True) on resized uint8 frames must
+    produce the same features as the host-normalize path — the production
+    extraction pipeline moved rescale/normalize/transpose onto the TPU (r4,
+    host normalize cost ~5x the decode on a 1-core host)."""
+    from blim_tpu.core.config import ModelConfig
+    from blim_tpu.pipelines.extract import make_featurizer
+
+    vcfg = VisionConfig(image_size=32, hidden_size=16, num_attention_heads=2,
+                        num_hidden_layers=2, return_idx=-1, num_frames=2)
+    cfg = ModelConfig(vision=vcfg, mm_hidden_size=16, mm_local_num_frames=2,
+                      num_clips=2, tokens_per_frame=2)
+    params = umt_vit.init_params(vcfg, jax.random.key(0))
+    proc = umt_vit.UMTImageProcessor(size=(32, 32))
+    rng = np.random.default_rng(6)
+    # two videos, already at tower res (resize_frames is a no-op then —
+    # resize parity is test_image_processor_normalizes' job)
+    frames = rng.uniform(0, 255, (2, cfg.num_clips * 2, 32, 32, 3)).astype(np.uint8)
+
+    host = np.stack([proc.preprocess(f) for f in frames])  # (B, T, 3, h, w)
+    host = host.reshape(2, cfg.num_clips, 2, 3, 32, 32)
+    ref = make_featurizer(params, cfg)(jnp.asarray(host, jnp.float32))
+
+    dev_in = frames.reshape(2, cfg.num_clips, 2, 32, 32, 3)
+    got = make_featurizer(params, cfg, device_preprocess=True)(jnp.asarray(dev_in))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
