@@ -185,19 +185,23 @@ def bench_featurizer(args, cfg, dtype, n_chips, peak):
     # sweep, scripts/abench_featurizer.py / docs/PERF_NOTES_R4.md)
     B = 2 if args.tiny else 16
     rng = np.random.default_rng(1)
+    iters = 2 if args.tiny else 5
+    # distinct buffers per trial: the tunnel result-caches identical
+    # (executable, inputs) pairs
     pix = [
         jnp.asarray(rng.standard_normal(
             (B, cfg.num_clips, cfg.mm_local_num_frames, 3,
              cfg.vision.image_size, cfg.vision.image_size)) * 0.1, dtype)
-        for _ in range(3)
+        for _ in range(iters + 1)
     ]
-    np.asarray(feat(pix[0]))  # compile
-    best = float("inf")
-    iters = 2 if args.tiny else 6
-    for i in range(iters):
-        t0 = time.perf_counter()
-        np.asarray(feat(pix[i % len(pix)]))
-        best = min(best, time.perf_counter() - t0)
+    np.asarray(feat(pix.pop()))  # compile + warm on its own buffer
+    # pipelined: enqueue all trials, drain once — the steady-state rate the
+    # production extraction pipeline sees (lag-2 overlap), not a serial
+    # round-trip per batch
+    t0 = time.perf_counter()
+    outs = [feat(p) for p in pix]
+    np.asarray(outs[-1])
+    best = (time.perf_counter() - t0) / iters
     vps = B / best / n_chips
     line = {
         "metric": "featurizer_videos_per_sec_per_chip",
