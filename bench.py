@@ -239,7 +239,8 @@ def bench_extract_e2e(args, cfg, vit, B, n_chips, compute_vps):
     import jax.numpy as jnp
 
     from blim_tpu.models.umt_vit import UMTImageProcessor
-    from blim_tpu.pipelines.extract import make_featurizer, read_frames, run_extraction
+    from blim_tpu.pipelines.extract import (
+        make_featurizer, read_frames, resize_for_upload, run_extraction)
 
     n_vid = 8 if args.tiny else 32
     try:
@@ -252,18 +253,24 @@ def bench_extract_e2e(args, cfg, vit, B, n_chips, compute_vps):
     feat = make_featurizer(vit, cfg, device_preprocess=True)
 
     def decode(p):
-        return proc.resize_frames(read_frames(p, n_frames))
+        # production rule: raw decoded frames ship when they carry no more
+        # pixels than res-{image_size} — the host->device wire (~40MB/s
+        # through the tunnel) is the e2e bound, and the featurizer
+        # bicubic-resizes on the TPU (resize_for_upload docstring)
+        return resize_for_upload(read_frames(p, n_frames), proc, proc.size)
 
     def on_features(_paths, dev):
         np.asarray(dev, np.float16)  # force the device->host transfer
 
-    # pre-compile the featurize executable at the e2e batch shape (the
-    # featurizer line above compiled a different batch + input dtype);
-    # compile time must not land inside the timed pipeline. One warm pass
-    # of decode is NOT taken: e2e includes cold decode by design.
+    # pre-compile the featurize executable at the e2e batch + RAW-SHIP shape
+    # (synth videos decode below image_size, so the pipeline uploads raw and
+    # resizes on device); compile time must not land inside the timed
+    # pipeline. One warm pass of decode is NOT taken: e2e includes cold
+    # decode by design.
+    probe = decode(paths[0])
     np.asarray(feat(jnp.zeros(
-        (B, cfg.num_clips, cfg.mm_local_num_frames,
-         cfg.vision.image_size, cfg.vision.image_size, 3), jnp.uint8)))
+        (B, cfg.num_clips, cfg.mm_local_num_frames, *probe.shape[1:]),
+        jnp.uint8)))
     n_ok, elapsed = run_extraction(
         paths, decode, feat, on_features, batch_size=B,
         clips=cfg.num_clips, local_frames=cfg.mm_local_num_frames,
@@ -273,8 +280,8 @@ def bench_extract_e2e(args, cfg, vit, B, n_chips, compute_vps):
     line = {
         "metric": "extract_videos_per_sec_e2e",
         "value": round(e2e, 3),
-        "unit": f"videos/s/chip end-to-end (cv2 decode + uint8 resize + "
-                f"device-side normalize + featurize, {n_ok} synthesized "
+        "unit": f"videos/s/chip end-to-end (cv2 decode + raw-uint8 upload + "
+                f"device-side resize/normalize + featurize, {n_ok} synthesized "
                 f"mp4s, 4 decode threads, batch {B})",
         # baseline: the XLA compute-only featurizer rate (2.99 videos/s/chip)
         # — an e2e rate above it means decode fully hides behind compute

@@ -53,6 +53,31 @@ def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
     return out
 
 
+def pil_resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) matrix reproducing one axis of PIL Image.resize BICUBIC.
+
+    PIL semantics (the reference preprocesses via HF `resize(...,
+    PILImageResampling.BICUBIC)`, vision_tower_builder.py:441-477): kernel
+    a=-0.5, window renormalisation at the borders (not clamp-accumulate),
+    and antialias filter widening on downscale. Applied as two separable
+    passes — horizontal FIRST, quantising to the uint8 image domain between
+    passes exactly like PIL's uint8 pipeline — this matches Image.resize to
+    within ±1 grey level on <0.02% of pixels (fixed-point tie rounding).
+    Used by the TPU-side resize in the extraction featurizer so raw decoded
+    frames can ship over the wire instead of res-448 ones."""
+    scale = n_in / n_out
+    fs = max(scale, 1.0)
+    support = 2.0 * fs
+    m = np.zeros((n_out, n_in))
+    for i in range(n_out):
+        center = (i + 0.5) * scale
+        lo = max(int(center - support + 0.5), 0)
+        hi = min(int(center + support + 0.5), n_in)
+        w = _cubic_kernel((np.arange(lo, hi) - center + 0.5) / fs, a=-0.5)
+        m[i, lo:hi] = w / w.sum()
+    return m
+
+
 def cubic_resize_matrix(n_in: int, n_out: int) -> np.ndarray:
     """(n_out, n_in) matrix implementing torch's 1-D bicubic interpolation
     with align_corners=False (clamped borders)."""
@@ -311,10 +336,13 @@ class UMTImageProcessor:
             for i, f in enumerate(frames):
                 out[i] = np.asarray(Image.fromarray(f).resize((w, h), Image.BICUBIC))
         except ImportError:
-            mh = cubic_resize_matrix(frames.shape[1], h)
-            mw = cubic_resize_matrix(frames.shape[2], w)
+            # PIL-exact fallback: horizontal pass first, uint8 quantisation
+            # between passes (see pil_resize_matrix)
+            mh = pil_resize_matrix(frames.shape[1], h)
+            mw = pil_resize_matrix(frames.shape[2], w)
             for i, f in enumerate(frames):
-                arr = np.einsum("oh,hwc->owc", mh, f.astype(np.float32))
-                arr = np.einsum("ow,hwc->hoc", mw, arr)
+                arr = np.einsum("ow,hwc->hoc", mw, f.astype(np.float64))
+                arr = np.clip(np.rint(arr), 0, 255)
+                arr = np.einsum("oh,hwc->owc", mh, arr)
                 out[i] = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
         return out

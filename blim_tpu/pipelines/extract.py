@@ -22,7 +22,7 @@ import argparse
 import functools
 import glob
 import os
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -153,12 +153,36 @@ def read_frames(video_path: str, num_frames: int, max_duration: Optional[float] 
         import cv2
 
         cap = cv2.VideoCapture(video_path)
+        vlen = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        if max_duration and vlen > 0 and vlen / fps > max_duration:
+            vlen = int(max_duration * fps)
+        if vlen > 1:
+            # grab() decodes without the retrieve+BGR2RGB conversion — only
+            # the sampled frames pay the memcpy/cvtColor (~30% faster than
+            # converting every frame, and O(num_frames) memory)
+            idx = np.linspace(0, vlen - 2, num_frames).astype(int)
+            pos = {u: j for j, u in enumerate(sorted(set(idx.tolist())))}
+            frames = []
+            for i in range(vlen):
+                if not cap.grab():
+                    break
+                if i in pos:
+                    ok, frame = cap.retrieve()
+                    if ok:
+                        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            cap.release()
+            if len(frames) == len(pos):
+                return np.stack([frames[pos[i]] for i in idx])
+            cap = cv2.VideoCapture(video_path)  # unreliable header: full read
         frames = []
         ok, frame = cap.read()
         while ok:
             frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
             ok, frame = cap.read()
         cap.release()
+        if max_duration and len(frames) / fps > max_duration:
+            frames = frames[: max(int(max_duration * fps), 2)]
         idx = np.linspace(0, len(frames) - 2, num_frames).astype(int)
         return np.stack([frames[i] for i in idx])
     except ImportError as e:
@@ -226,7 +250,15 @@ def make_featurizer(vit_params, config, use_pallas=None, device_preprocess=False
     the TPU — XLA fuses all of it into the patch-embed convolution, and the
     host sheds the fp32 normalize that otherwise costs ~5x the decode
     (see UMTImageProcessor.resize_frames). Uploads also halve (uint8 vs
-    bf16)."""
+    bf16). If (H, W) differs from the tower's image_size the frames are
+    ALSO bicubic-resized on the TPU (two small matmuls against
+    pil_resize_matrix constants, quantising to the uint8 image domain
+    between passes — ±1 grey level vs the host PIL resize) — the host
+    then ships the raw decoded
+    bytes instead of the resized ones, which is what matters when the
+    host→device wire is the end-to-end extraction bound (e.g. 320×240
+    MSRVTT frames are 2.6× fewer bytes than res448). One executable per
+    distinct source resolution (shape-keyed retrace)."""
     import jax
     import jax.numpy as jnp
 
@@ -243,7 +275,23 @@ def make_featurizer(vit_params, config, use_pallas=None, device_preprocess=False
     @jax.jit
     def featurize(params, pixels):
         if device_preprocess:
-            x = pixels.astype(jnp.float32) / 255.0
+            x = pixels.astype(jnp.float32)
+            tgt = vcfg.image_size
+            h_in, w_in = pixels.shape[3], pixels.shape[4]
+            if (h_in, w_in) != (tgt, tgt):
+                # trace-time constants: pixels.shape is static per executable.
+                # PIL pass order — horizontal first, quantising to the uint8
+                # image domain between passes — matches the host
+                # UMTImageProcessor.resize_frames to ±1 grey level
+                # (pil_resize_matrix docstring).
+                mh = jnp.asarray(umt_vit.pil_resize_matrix(h_in, tgt), jnp.float32)
+                mw = jnp.asarray(umt_vit.pil_resize_matrix(w_in, tgt), jnp.float32)
+                hp = jax.lax.Precision.HIGHEST
+                x = jnp.einsum("ow,bcfhwx->bcfhox", mw, x, precision=hp)
+                x = jnp.clip(jnp.rint(x), 0.0, 255.0)
+                x = jnp.einsum("oh,bcfhwx->bcfowx", mh, x, precision=hp)
+                x = jnp.clip(jnp.rint(x), 0.0, 255.0)
+            x = x / 255.0
             x = (x - mean) / std
             pixels = x.transpose(0, 1, 2, 5, 3, 4).astype(dtype)
         b, clips, lf, ch, h, w = pixels.shape
@@ -259,6 +307,23 @@ def make_featurizer(vit_params, config, use_pallas=None, device_preprocess=False
     return functools.partial(featurize, vit_params)
 
 
+def resize_for_upload(frames: np.ndarray, proc, target_hw: Tuple[int, int]) -> np.ndarray:
+    """Host-resize only when it SHRINKS the upload.
+
+    (T, H, W, 3) uint8 decoded frames: if the raw frames carry no more
+    pixels than the tower resolution, ship them as-is and let the
+    device_preprocess featurizer bicubic-resize on the TPU — the
+    host→device wire (~40MB/s through the axon tunnel; PCIe otherwise) is
+    the end-to-end extraction bound, not the resize FLOPs. Larger-than-
+    target frames (e.g. 1080p sources) still get the host resize, which
+    shrinks the wire bytes. Mirrors the reference's host-side
+    vision_tower_builder.py:441-477 preprocessing split."""
+    h, w = target_hw
+    if frames.shape[1] * frames.shape[2] <= h * w:
+        return frames
+    return proc.resize_frames(frames, (h, w))
+
+
 def run_extraction(video_list, decode_fn, featurize, on_features, *,
                    batch_size: int, clips: int, local_frames: int,
                    decode_workers: int = 4, save_iter: int = 10, log=print):
@@ -272,13 +337,15 @@ def run_extraction(video_list, decode_fn, featurize, on_features, *,
 
     import jax.numpy as jnp
 
-    batch_paths: List[str] = []
-    batch_pixels: List[np.ndarray] = []
+    # batches accumulate per decoded shape: with raw-upload decoding
+    # (resize_for_upload) different source resolutions need different
+    # featurize executables, so same-shape videos batch together. A single-
+    # resolution dataset (the common case) uses exactly one bucket.
+    buckets: dict = {}
     in_flight: List = []
 
-    def flush():
-        if not batch_paths:
-            return
+    def flush(key):
+        batch_paths, batch_pixels = buckets.pop(key)
         pixels = np.stack(batch_pixels)  # (B, T, 3, H, W) f32 or (B, T, H, W, 3) u8
         b = pixels.shape[0]
         pixels = pixels.reshape(b, clips, local_frames, *pixels.shape[2:])
@@ -288,9 +355,7 @@ def run_extraction(video_list, decode_fn, featurize, on_features, *,
             pixels, jnp.bfloat16)
         # async dispatch: featurize returns immediately; the transfer+save of
         # the PREVIOUS batch happens while this one runs on the TPU
-        in_flight.append((list(batch_paths), featurize(dev)))
-        batch_paths.clear()
-        batch_pixels.clear()
+        in_flight.append((batch_paths, featurize(dev)))
         while len(in_flight) > 2:
             on_features(*in_flight.pop(0))
 
@@ -301,14 +366,17 @@ def run_extraction(video_list, decode_fn, featurize, on_features, *,
         if err is not None:  # corrupt video -> skip (reference: extract.py:70-74)
             log(f"Error loading video {path}: {err}")
             continue
-        batch_pixels.append(pix)
-        batch_paths.append(path)
+        key = pix.shape
+        paths_pixels = buckets.setdefault(key, ([], []))
+        paths_pixels[0].append(path)
+        paths_pixels[1].append(pix)
         n_ok += 1
-        if len(batch_paths) == batch_size:
-            flush()
+        if len(paths_pixels[0]) == batch_size:
+            flush(key)
         if i % save_iter == 0:
             log(f"[{i}/{len(video_list)}]")
-    flush()
+    for key in list(buckets):
+        flush(key)
     while in_flight:
         on_features(*in_flight.pop(0))
     return n_ok, time.perf_counter() - t0
@@ -363,7 +431,8 @@ def main(args):
             store.save(vid, feat)
 
     def decode(path):
-        return processor.resize_frames(read_frames(path, args.num_frames, max_dur))
+        frames = read_frames(path, args.num_frames, max_dur)
+        return resize_for_upload(frames, processor, processor.size)
 
     n_ok, elapsed = run_extraction(
         video_list, decode, featurize, consume,
