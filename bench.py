@@ -671,7 +671,7 @@ def main():
         qps2, mfu2, flops2, elapsed2, useful_mfu2, useful_frac2 = measure(
             True, m2, max(args.trials, 2) if not args.tiny else 1)
         ratio2 = None
-        if args.interleave_queries > 0:
+        if args.interleave_queries > 0 and not args.naive:
             ratio2 = interleaved_naive_ratio(
                 True, args.interleave_queries, args.interleave_rounds)
         line2 = {

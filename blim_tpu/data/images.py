@@ -162,7 +162,9 @@ def auto_pad_images(image, grid_params: Sequence[int]):
         rh = int(rw / input_aspect)
     else:
         rw = int(rh * input_aspect)
-    resized = image.resize((rw, rh))
+    # the reference resizes with Image.ANTIALIAS (mm_utils.py:436), which
+    # modern Pillow names LANCZOS
+    resized = image.resize((rw, rh), Image.LANCZOS)
     out = Image.new("RGB", target, color=(0, 0, 0))
     out.paste(resized, ((target[0] - rw) // 2, (target[1] - rh) // 2))
     return out

@@ -94,12 +94,13 @@ def evaluation(
         # dispatch thread and ships the binary over the same FIFO wire the
         # results ride (engine.warmup_packed docstring has the measurements).
         # Callers set this on an UNTIMED pass (e.g. the bench warmup) — the
-        # executables are keyed on bank shapes, so any later evaluation at
-        # the same item count runs fully warm.
+        # combo set is exhaustive and executables are keyed on bank shapes,
+        # so any later evaluation at the same item count runs fully warm
+        # whatever its captions or pair list.
         engine.warmup_packed(
             vtg_banks, tvg_banks if has_tvg else None,
-            video_vocab if has_tvg else None, topk=topk,
-            with_prior=cpn, item_video_idx=item_vid, verbose=verbose)
+            video_vocab if has_tvg else None,
+            with_prior=cpn, verbose=verbose)
         mark("warmup_shapes")
 
     t2v_dict: Dict[str, np.ndarray] = {}

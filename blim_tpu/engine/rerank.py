@@ -1835,94 +1835,64 @@ class RerankEngine:
 
     def packed_combo_sets(
         self,
-        banks: Optional[Dict[str, Any]] = None,
-        tvg_banks: Optional[Dict[str, Any]] = None,
-        topk: int = 16,
-        trials: int = 24,
-        seed: int = 0,
+        vtg: bool = True,
+        tvg: bool = True,
         with_prior: bool = True,
-        item_video_idx: Optional[np.ndarray] = None,
     ) -> Dict[str, set]:
-        """Monte-Carlo union of the packed-step shape combos an evaluation
-        at this bank's caption-length profile can dispatch.
+        """Exhaustive enumeration of every packed-step shape combo an
+        evaluation can dispatch — data-INDEPENDENT by construction.
 
-        Which (size[, qcap], batch) executables a flow hits is DATA-DEPENDENT:
-        it follows from the top-k pair list via build_packs/build_tvg_packs
-        and the batch ladder. This simulates `trials` random bidirectional
-        top-k pair lists (the structure evaluation() builds from the IV2
-        grids) against the banks' REAL length arrays and unions the schedules,
-        mirroring the G formulas of the dispatch loops exactly.
+        Which (size[, qcap], batch) executables a flow hits follows from the
+        top-k pair list via build_packs/build_tvg_packs and the batch ladder,
+        but the REACHABLE SET does not: pack sizes come from the fixed class
+        grids, G depends only on (prefix_len, size[, qcap]), and
+        `ladder_batches` covers every value `batch_plan` can emit for any
+        pack count (tests/test_pack_schedule.py pins both). Enumerating the
+        cross products therefore upper-bounds any evaluation's dispatch, for
+        ANY caption data — unlike the Monte-Carlo sampling this replaced,
+        which could miss a class that only a fresh caption-length profile
+        reaches (r4 review finding).
 
         Returns {"vtg": {(size, g)}, "vtg_prior": {(size, g)},
                  "tvg": {(size, qcap, g)}, "tvg_prior": {(size, qcap, g)}}.
         """
-        rng = np.random.default_rng(seed)
         W = self.config.num_clips
         out = {"vtg": set(), "vtg_prior": set(), "tvg": set(), "tvg_prior": set()}
 
-        def vtg_combos(key_idx, cap_idx, lens, P):
+        def vtg_combos(P):
             s = set()
-            for size, packs in build_packs(key_idx, cap_idx, lens, self.pack_sizes):
+            for size in self.pack_sizes:
                 G = max(1, min(self.pack_token_budget // (P + size), 8)) * self.n_data
-                for g in batch_plan(len(packs), G, self.n_data):
-                    s.add((size, g))
-                # the ladder tail depends on m mod G — cover every rung
                 for g in ladder_batches(G, self.n_data):
                     s.add((size, g))
             return s
 
-        def tvg_combos(cap_idx, vid_idx, lens):
+        def tvg_combos():
+            sizes = [c[0] for c in self.tvg_pack_classes]
+            if self.tvg_q_buckets is None:
+                # coupled classes: build_tvg_packs only emits table entries
+                pairs = list(self.tvg_pack_classes)
+            else:
+                pairs = [(sz, q) for sz in sizes for q in self.tvg_q_buckets]
             s = set()
-            for size, qn, packs in build_tvg_packs(
-                cap_idx, vid_idx, lens, self.tvg_pack_classes,
-                q_buckets=self.tvg_q_buckets,
-            ):
+            for size, qn, in pairs:
                 G = max(1, min(self.pack_token_budget // (size + qn * W), 8))
                 G *= self.n_data
                 for g in ladder_batches(G, self.n_data):
                     s.add((size, qn, g))
             return s
 
-        slen = None if banks is None else np.asarray(banks["suffix_len_host"])
-        plen = (None if tvg_banks is None
-                else np.asarray(tvg_banks["prefix_len_host"]))
-        if slen is None and plen is None:
-            return out
-        n = len(slen) if slen is not None else len(plen)
-        item_vid = (np.arange(n) if item_video_idx is None
-                    else np.asarray(item_video_idx))
-        hl = None if self.tvg_layout is None else self.tvg_layout.tvg_prefix_length
-        if slen is not None and with_prior:
-            # the caption-prior pass's pair list is data-INDEPENDENT
-            out["vtg_prior"] |= vtg_combos(
-                np.zeros(n, np.int64), np.arange(n), slen,
-                int(self.compute_prior_kv(self.vtg_layout)[1].shape[1]))
-        P_vtg = len(self.vtg_layout.prefix_token_ids())
-        for _ in range(trials):
-            v_rows, v_cols = topk_pairs(rng.standard_normal((n, n)), topk)
-            t_rows, t_cols = topk_pairs(rng.standard_normal((n, n)), topk)
-            u_cap, u_vid, _ = unique_pairs(
-                np.concatenate([v_cols, t_rows]),
-                np.concatenate([item_vid[v_rows], item_vid[t_cols]]))
-            if slen is not None:
-                out["vtg"] |= vtg_combos(u_vid, u_cap, slen, P_vtg)
-            if plen is not None:
-                out["tvg"] |= tvg_combos(u_cap, u_vid, plen)
-                if with_prior:
-                    if self.tvg_prior_dedup:
-                        lenk = plen[u_cap].astype(np.int64)
-                        uk = np.unique(np.stack(
-                            [lenk, u_vid.astype(np.int64)], axis=1), axis=0)
-                        rep: Dict[int, int] = {}
-                        for c in np.unique(u_cap):
-                            rep.setdefault(int(plen[c]), int(c))
-                        p_cap = np.array([rep[int(L)] for L, _v in uk], np.int64)
-                        p_vid = uk[:, 1]
-                    else:
-                        p_cap, p_vid = u_cap, u_vid
-                    out["tvg_prior"] |= tvg_combos(
-                        p_cap, p_vid, np.full(len(plen), hl, np.int32))
-        # the two TVG passes share executables (cpn is the only static split)
+        if vtg:
+            out["vtg"] = vtg_combos(len(self.vtg_layout.prefix_token_ids()))
+            if with_prior:
+                # prior prefix length, host-side (no device forward needed)
+                out["vtg_prior"] = vtg_combos(
+                    len(self.vtg_layout.prior_prefix()[0]))
+        if tvg and self.tvg_layout is not None:
+            out["tvg"] = tvg_combos()
+            if with_prior:
+                # same shape set; cpn is the only static split
+                out["tvg_prior"] = set(out["tvg"])
         return out
 
     def warmup_packed(
@@ -1930,11 +1900,7 @@ class RerankEngine:
         banks: Optional[Dict[str, Any]] = None,
         tvg_banks: Optional[Dict[str, Any]] = None,
         video_vocab: Optional[jax.Array] = None,
-        topk: int = 16,
-        trials: int = 24,
-        seed: int = 0,
         with_prior: bool = True,
-        item_video_idx: Optional[np.ndarray] = None,
         verbose: bool = False,
     ) -> int:
         """Dispatch one dummy (all-padding) step per reachable packed-step
@@ -1951,11 +1917,15 @@ class RerankEngine:
         the bank tensor shapes, so re-warm after uploading banks with a
         different caption count. Warm-data evaluation alone does NOT cover
         this: the trial's top-k pair list differs, so its pack remainders
-        hit different ladder rungs and (size, qcap) classes.
+        hit different ladder rungs and (size, qcap) classes. The combo set
+        is exhaustive (packed_combo_sets), so after this pass ANY evaluation
+        against banks of these shapes runs fully warm, regardless of its
+        caption lengths or pair list.
         """
         combos = self.packed_combo_sets(
-            banks, tvg_banks, topk=topk, trials=trials, seed=seed,
-            with_prior=with_prior, item_video_idx=item_video_idx)
+            vtg=banks is not None,
+            tvg=tvg_banks is not None and video_vocab is not None,
+            with_prior=with_prior)
         gs1 = NamedSharding(self.mesh, P(DATA_AXIS))
         gs2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
         gs4 = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))

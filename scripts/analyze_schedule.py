@@ -359,7 +359,8 @@ def sweep(args, cfg, vtg_l, tvg_l):
             for cname, cls in (class_sets.items() if finetuned
                                else [("-", ((128, 160), (256, 96), (top_t, 160)))]):
                 disp, use, _ = flow_totals(cfg, vtg_l, tvg_l, wl, finetuned,
-                                           grid, cls, token_budget)
+                                           grid, cls, token_budget,
+                                           n_data=args.n_data)
                 if base is None:
                     base = disp
                 print(f"  sizes[{gname:<28}] classes[{cname:<44}] "
@@ -371,7 +372,7 @@ def sweep(args, cfg, vtg_l, tvg_l):
         for qname, (cls, qb) in qbucket_sets.items():
             disp, use, _ = flow_totals(cfg, vtg_l, tvg_l, wl, finetuned,
                                        cur_sizes, cls, token_budget,
-                                       q_buckets=qb)
+                                       q_buckets=qb, n_data=args.n_data)
             print(f"  sizes[{'CUR step64':<28}] qbuckets[{qname:<43}] "
                   f"disp {disp/1e12:8.1f} TF  frac {use/disp:.3f}  "
                   f"vs cur {disp/base:6.3f}")

@@ -229,8 +229,8 @@ def test_ladder_batches_covers_batch_plan():
 
 
 def test_warmup_packed_covers_evaluation_dispatch(tokenizer):
-    """packed_combo_sets' Monte-Carlo union must cover every executable a
-    real evaluation dispatches (else the warmup misses shapes and the flow
+    """packed_combo_sets' exhaustive enumeration must cover every executable
+    a real evaluation dispatches (else the warmup misses shapes and the flow
     pays a mid-flight executable load — r4 probe: 0.3-0.5s per cold shape,
     and the binary transfer starves the device on the tunnel's FIFO wire)."""
     import jax
@@ -294,13 +294,7 @@ def test_warmup_packed_covers_evaluation_dispatch(tokenizer):
         engine._vtg_prior_packed_step = orig_p
         engine._tvg_packed_step = orig_t
 
-    from blim_tpu.engine.rerank import CaptionBank
-
-    vtg_bank = CaptionBank.build_vtg(caps, tokenizer, "MSRVTT", vtg_l)
-    banks = engine.upload(vtg_bank, feats)
-    tvg_bank = CaptionBank.build_tvg(caps, tokenizer, tvg_l)
-    tbanks = engine.upload(tvg_bank, feats, shared_feats=banks)
-    combos = engine.packed_combo_sets(banks, tbanks, topk=topk, trials=24)
+    combos = engine.packed_combo_sets()
     assert seen["vtg"] <= combos["vtg"], seen["vtg"] - combos["vtg"]
     assert seen["vtg_prior"] <= combos["vtg_prior"], (
         seen["vtg_prior"] - combos["vtg_prior"])
