@@ -578,6 +578,11 @@ class RerankEngine:
         # with G ~ budget/(prefix+size). Bounds the pack KV + fp32 CE/score
         # transients next to the 7B (~400MB headroom on a v5e)
         self.pack_token_budget = 2200
+        # packs-per-step cap: bounds compiled batch variants (ladder rungs
+        # are powers of two up to this) and the per-step transient footprint.
+        # Only binds when the prefix is tiny (the caption-prior pass and the
+        # smallest TVG classes); the big score passes are budget-bound.
+        self.g_cap = 8
         # suffix width buckets: one compiled variant per bucket; a group runs
         # at the smallest bucket covering its longest caption
         full_w = vtg_layout.suffix_width
@@ -1173,7 +1178,7 @@ class RerankEngine:
                     banks, packs, size, qn, head_len)
                 # feed/HBM balance: pack KV (~59MB at T=512) plus the flat
                 # queries' fp32 score transients bound packs per step
-                G = max(1, min(self.pack_token_budget // (size + qn * W), 8))
+                G = max(1, min(self.pack_token_budget // (size + qn * W), self.g_cap))
                 G *= self.n_data
                 m = len(packs)
                 s = 0
@@ -1747,7 +1752,7 @@ class RerankEngine:
                     n_segments=size // 4, video_direct=stream,
                 )
 
-            G = max(1, min(self.pack_token_budget // (P_len + size), 8)) * self.n_data
+            G = max(1, min(self.pack_token_budget // (P_len + size), self.g_cap)) * self.n_data
             for sl_real, out in self._run_pack_batches(packs, size, banks, G, run_step):
                 pending.append(([packs[i][2] for i in sl_real], out))
                 if stream and len(pending) >= 8:
@@ -1812,7 +1817,7 @@ class RerankEngine:
                     ids, segs, poss, labs, n_segments=size // 4,
                 )
 
-            G = max(1, min(self.pack_token_budget // (P_prior + size), 8)) * self.n_data
+            G = max(1, min(self.pack_token_budget // (P_prior + size), self.g_cap)) * self.n_data
             for sl_real, out in self._run_pack_batches(packs, size, banks, G, run_step):
                 pending.append(([packs[i][1] for i in sl_real], out))
 
@@ -1862,7 +1867,7 @@ class RerankEngine:
         def vtg_combos(P):
             s = set()
             for size in self.pack_sizes:
-                G = max(1, min(self.pack_token_budget // (P + size), 8)) * self.n_data
+                G = max(1, min(self.pack_token_budget // (P + size), self.g_cap)) * self.n_data
                 for g in ladder_batches(G, self.n_data):
                     s.add((size, g))
             return s
@@ -1876,7 +1881,7 @@ class RerankEngine:
                 pairs = [(sz, q) for sz in sizes for q in self.tvg_q_buckets]
             s = set()
             for size, qn, in pairs:
-                G = max(1, min(self.pack_token_budget // (size + qn * W), 8))
+                G = max(1, min(self.pack_token_budget // (size + qn * W), self.g_cap))
                 G *= self.n_data
                 for g in ladder_batches(G, self.n_data):
                     s.add((size, qn, g))
