@@ -523,6 +523,14 @@ def flash_attention(
     if query_mask is not None:
         query_mask = query_mask.astype(jnp.int32)
     blk = max(blk_q, blk_k)
+    if blk % min(blk_q, blk_k):
+        # pad to a common multiple: both KV loops iterate range(s // blk_k),
+        # so a blk_k that doesn't divide the padded length would silently
+        # drop the tail KV chunk (r4 advice). The internal dense branch always
+        # picks divisors; this guards external callers with custom blocks.
+        import math
+
+        blk = blk_q * blk_k // math.gcd(blk_q, blk_k)
     q, k, v, key_mask, query_mask, s_orig = _pad_to_block(
         q, k, v, key_mask, query_mask, blk
     )

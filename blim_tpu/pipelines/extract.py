@@ -344,8 +344,21 @@ def run_extraction(video_list, decode_fn, featurize, on_features, *,
     buckets: dict = {}
     in_flight: List = []
 
+    def consume(paths, feats):
+        # drop the tail-pad rows (flush pads partial batches to batch_size)
+        on_features(paths, feats[: len(paths)])
+
     def flush(key):
         batch_paths, batch_pixels = buckets.pop(key)
+        # pad tail batches to batch_size by repeating the last video: each
+        # distinct (residual size, source shape) would otherwise compile a
+        # fresh featurize executable mid-pipeline — a multi-second remote-
+        # compile stall inside the production run. `consume` slices the
+        # features back to len(batch_paths), so padded rows never reach
+        # the consumer.
+        if len(batch_pixels) < batch_size:
+            batch_pixels = batch_pixels + [batch_pixels[-1]] * (
+                batch_size - len(batch_pixels))
         pixels = np.stack(batch_pixels)  # (B, T, 3, H, W) f32 or (B, T, H, W, 3) u8
         b = pixels.shape[0]
         pixels = pixels.reshape(b, clips, local_frames, *pixels.shape[2:])
@@ -357,7 +370,7 @@ def run_extraction(video_list, decode_fn, featurize, on_features, *,
         # the PREVIOUS batch happens while this one runs on the TPU
         in_flight.append((batch_paths, featurize(dev)))
         while len(in_flight) > 2:
-            on_features(*in_flight.pop(0))
+            consume(*in_flight.pop(0))
 
     t0 = time.perf_counter()
     n_ok = 0
@@ -378,7 +391,7 @@ def run_extraction(video_list, decode_fn, featurize, on_features, *,
     for key in list(buckets):
         flush(key)
     while in_flight:
-        on_features(*in_flight.pop(0))
+        consume(*in_flight.pop(0))
     return n_ok, time.perf_counter() - t0
 
 

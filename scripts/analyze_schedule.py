@@ -90,7 +90,8 @@ class PassReport:
 
 
 def analyze_vtg_packed(cfg, layout, lens, cap_idx, vid_idx, pack_sizes,
-                       token_budget, name, prior_prefix_len=None, n_data=1):
+                       token_budget, name, prior_prefix_len=None, n_data=1,
+                       g_cap=8):
     """Mirror score_pairs_vtg_packed / compute_vtg_priors_packed accounting.
 
     prior_prefix_len: if set, this is the prior pass (one shared text prefix,
@@ -127,7 +128,7 @@ def analyze_vtg_packed(cfg, layout, lens, cap_idx, vid_idx, pack_sizes,
         total_packs += m
         # engine-identical G: budget-derived per-chip batch scaled by the
         # mesh's data rows (rerank.py `G *= self.n_data`)
-        G = max(1, min(token_budget // (P_len + size), 8)) * n_data
+        G = max(1, min(token_budget // (P_len + size), g_cap)) * n_data
         m_pad = sum(batch_plan(m, G, n_data))
         n_batch_pad = m_pad - m
         # dispatched, engine-identically:
@@ -167,7 +168,7 @@ def analyze_vtg_packed(cfg, layout, lens, cap_idx, vid_idx, pack_sizes,
 
 def analyze_tvg_packed(cfg, layout, lens, cap_idx, vid_idx, classes,
                        token_budget, vocab_videos, name, head_len=None,
-                       q_buckets=None, n_data=1):
+                       q_buckets=None, n_data=1, g_cap=8):
     """Mirror score_pairs_tvg_packed's run_pass accounting (one pass)."""
     llm = cfg.llm
     W = cfg.num_clips
@@ -197,7 +198,7 @@ def analyze_tvg_packed(cfg, layout, lens, cap_idx, vid_idx, classes,
     for size, qn, packs in build_tvg_packs(cap_idx, vid_idx, eff, classes,
                                            q_buckets=q_buckets):
         m = len(packs)
-        G = max(1, min(token_budget // (size + qn * W), 8)) * n_data
+        G = max(1, min(token_budget // (size + qn * W), g_cap)) * n_data
         m_pad = sum(batch_plan(m, G, n_data))
         n_batch_pad = m_pad - m
         rep.dispatched += F.packed_prefix_kv_flops(llm, m_pad, size)
@@ -268,17 +269,17 @@ def build_workload(args, cfg, vtg_l, tvg_l, m, finetuned):
 
 
 def flow_totals(cfg, vtg_l, tvg_l, wl, finetuned, pack_sizes, tvg_classes,
-                token_budget, label="", q_buckets=None, n_data=1):
+                token_budget, label="", q_buckets=None, n_data=1, g_cap=8):
     vtg_lens, tvg_lens, u_cap, u_vid = wl
     m = None
     reports = [
         analyze_vtg_packed(cfg, vtg_l, vtg_lens, u_cap, u_vid, pack_sizes,
                            token_budget, f"{label} VTG score (packed)",
-                           n_data=n_data),
+                           n_data=n_data, g_cap=g_cap),
         analyze_vtg_packed(cfg, vtg_l, vtg_lens, None, None, pack_sizes,
                            token_budget, f"{label} VTG prior (packed)",
                            prior_prefix_len=len(vtg_l.prior_prefix()[0]),
-                           n_data=n_data),
+                           n_data=n_data, g_cap=g_cap),
     ]
     if finetuned:
         m = int(u_vid.max()) + 1
@@ -295,12 +296,12 @@ def flow_totals(cfg, vtg_l, tvg_l, wl, finetuned, pack_sizes, tvg_classes,
             analyze_tvg_packed(cfg, tvg_l, tvg_lens, u_cap, u_vid,
                                tvg_classes, token_budget, m,
                                f"{label} TVG score (packed)",
-                               q_buckets=q_buckets, n_data=n_data),
+                               q_buckets=q_buckets, n_data=n_data, g_cap=g_cap),
             analyze_tvg_packed(cfg, tvg_l, tvg_lens, p_cap, p_vid,
                                tvg_classes, token_budget, m,
                                f"{label} TVG prior (packed, head-only, deduped)",
                                head_len=tvg_l.tvg_prefix_length,
-                               q_buckets=q_buckets, n_data=n_data),
+                               q_buckets=q_buckets, n_data=n_data, g_cap=g_cap),
         ]
     disp = sum(r.dispatched for r in reports)
     use = sum(r.useful for r in reports)
@@ -360,7 +361,7 @@ def sweep(args, cfg, vtg_l, tvg_l):
                                else [("-", ((128, 160), (256, 96), (top_t, 160)))]):
                 disp, use, _ = flow_totals(cfg, vtg_l, tvg_l, wl, finetuned,
                                            grid, cls, token_budget,
-                                           n_data=args.n_data)
+                                           n_data=args.n_data, g_cap=args.g_cap)
                 if base is None:
                     base = disp
                 print(f"  sizes[{gname:<28}] classes[{cname:<44}] "
@@ -372,7 +373,8 @@ def sweep(args, cfg, vtg_l, tvg_l):
         for qname, (cls, qb) in qbucket_sets.items():
             disp, use, _ = flow_totals(cfg, vtg_l, tvg_l, wl, finetuned,
                                        cur_sizes, cls, token_budget,
-                                       q_buckets=qb, n_data=args.n_data)
+                                       q_buckets=qb, n_data=args.n_data,
+                                       g_cap=args.g_cap)
             print(f"  sizes[{'CUR step64':<28}] qbuckets[{qname:<43}] "
                   f"disp {disp/1e12:8.1f} TF  frac {use/disp:.3f}  "
                   f"vs cur {disp/base:6.3f}")
@@ -385,6 +387,10 @@ def main():
     ap.add_argument("--topk", type=int, default=16)
     ap.add_argument("--caption-tokens", type=int, default=96)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--g-cap", type=int, default=8,
+                    help="engine packs-per-step cap (RerankEngine.g_cap); keep "
+                         "in sync so the analyzer's dispatch model matches an "
+                         "engine tuned to a different cap")
     ap.add_argument("--n-data", type=int, default=1,
                     help="mesh data-axis size (the engine scales step batches "
                          "G by n_data and ladders in n_data-row units); 1 = "
@@ -425,7 +431,8 @@ def main():
                   f"head {tvg_l.tvg_prefix_length}, P_full {tvg_l.prefix_len}")
         disp, use, _ = flow_totals(cfg, vtg_l, tvg_l, wl, finetuned,
                                    pack_sizes, tvg_classes, token_budget, label,
-                                   q_buckets=q_buckets, n_data=args.n_data)
+                                   q_buckets=q_buckets, n_data=args.n_data,
+                                   g_cap=args.g_cap)
         print(f"\n  {label} TOTAL: dispatched {disp/1e12:.1f} TF, useful "
               f"{use/1e12:.1f} TF, fraction {use/disp:.3f}")
 
