@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from blim_tpu.engine.rerank import CaptionBank, RerankEngine, topk_pairs, unique_pairs
-from blim_tpu.models.videochat_flash import make_video_vocab
 
 
 @dataclasses.dataclass
@@ -37,6 +36,72 @@ class EvalInputs:
     features: np.ndarray               # (V, clips, tokens_per_clip, mm)
     t2v_iv2: np.ndarray                # (N, N) InternVideo2 text->video scores
     v2t_iv2: np.ndarray                # (N, N) InternVideo2 video->text scores
+
+
+def warm_session(
+    engine: RerankEngine,
+    inputs: EvalInputs,
+    tokenizer,
+    dataset: str,
+    has_tvg: bool = True,
+    cpn: bool = True,
+    naive_batches: int = 0,
+    packed: bool = True,
+    workers: int = 8,
+    verbose: bool = False,
+) -> int:
+    """Load every executable an evaluation at these bank shapes dispatches,
+    WITHOUT the O(N^2) scoring sweep of a full warm evaluation.
+
+    Coverage argument: the packed executables are exhaustively enumerated by
+    engine.packed_combo_sets (tests/test_pack_schedule.py pins that a real
+    evaluation's dispatch is a subset); the remaining executables an eval
+    touches are the upload path's reshard/concat/projection ops and the
+    prior-prefix KV forward, which this function exercises by performing a
+    REAL upload at the same shapes. A full warm evaluation at 1000 queries
+    cost ~80-160s of redundant scoring on top of this (r4 bench).
+
+    `naive_batches` > 0 additionally touches the naive full-sequence step
+    executables (score_grid_vtg/_tvg's `_vtg_step`/`_tvg_step` at the
+    engine's batch size, both with_prior variants) — the A/B comparator's
+    warm set. Requires the device-resident feature bank.
+
+    Returns the packed-executable count; wall time in engine.last_warmup_s."""
+    import jax
+
+    vtg_bank = CaptionBank.build_vtg(inputs.captions, tokenizer, dataset,
+                                     engine.vtg_layout)
+    banks = engine.upload(vtg_bank, inputs.features)
+    tvg_banks = video_vocab = None
+    if has_tvg:
+        tvg_bank = CaptionBank.build_tvg(inputs.captions, tokenizer,
+                                         engine.tvg_layout)
+        tvg_banks = engine.upload(tvg_bank, inputs.features, shared_feats=banks)
+        video_vocab = engine.video_vocab(banks, inputs.features)
+    count = 0
+    if packed:
+        count = engine.warmup_packed(banks, tvg_banks, video_vocab,
+                                     with_prior=cpn, verbose=verbose,
+                                     workers=workers)
+    if naive_batches > 0:
+        from blim_tpu.core.mesh import DATA_AXIS
+
+        B = engine.batch_size
+        sh = jax.sharding.NamedSharding(
+            engine.mesh, jax.sharding.PartitionSpec(DATA_AXIS))
+        ci = jax.device_put(jnp.zeros((B,), jnp.int32), sh)
+        vi = jax.device_put(jnp.zeros((B,), jnp.int32), sh)
+        last = None
+        for wp in (False, True):
+            last = engine._vtg_step(engine.params, engine.lora,
+                                    engine._dev_banks(banks), ci, vi,
+                                    with_prior=wp)
+            if has_tvg:
+                last = engine._tvg_step(engine.params, engine.lora,
+                                        engine._dev_banks(tvg_banks),
+                                        video_vocab, ci, vi, with_prior=wp)
+        np.asarray(jax.tree_util.tree_leaves(last)[-1])
+    return count
 
 
 def evaluation(
@@ -84,7 +149,10 @@ def evaluation(
         tvg_bank = CaptionBank.build_tvg(inputs.captions, tokenizer, engine.tvg_layout)
         tvg_banks = engine.upload(tvg_bank, inputs.features, shared_feats=vtg_banks)
         mark("upload_tvg")
-        video_vocab = jnp.asarray(make_video_vocab(inputs.features), jnp.float32)
+        # on-device token-mean of the resident bank: zero host pooling, zero
+        # extra wire bytes (the host mean + re-upload was part of the
+        # fine-tuned flow's serial startup ramp, PERF_NOTES_R4 §1)
+        video_vocab = engine.video_vocab(vtg_banks, inputs.features)
         mark("video_vocab")
 
     if warmup_shapes and shared_prefix and packed:

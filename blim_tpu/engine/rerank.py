@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time as _time
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -405,6 +406,45 @@ def ladder_batches(G: int, n_data: int) -> Tuple[int, ...]:
     return tuple(sorted(out))
 
 
+_STEP_JITS: Dict[tuple, Any] = {}
+
+
+def step_jit(impl_name: str, static_kv: dict, static_argnames: Tuple[str, ...]):
+    """Process-wide memoized jit wrapper for a RerankEngine step impl.
+
+    jax.jit caches compiled executables per WRAPPER OBJECT: a fresh
+    functools.partial per engine (the old design) meant every engine
+    re-traced and re-shipped executables the process had already loaded —
+    at 0.3-0.5s per executable over the tunnel, a bench or serving process
+    that builds several engines (warmup session, eval session, A/B
+    comparator) paid the warmup cost once PER ENGINE. Keying the wrapper on
+    (impl, bound statics) shares the loaded executables across engines with
+    the same config/layout/lora-scale; params and lora are ordinary jit
+    ARGS, so engines with different weights still share.
+
+    The impls are staticmethods and the bound statics are plain hashable
+    config values (frozen dataclasses, ints, tuples) — no engine `self`
+    ever enters the closure, so a dead engine's HBM is never pinned here."""
+    key = (impl_name, tuple(sorted(static_kv.items(), key=lambda kv: kv[0])),
+           tuple(static_argnames))
+    fn = _STEP_JITS.get(key)
+    if fn is None:
+        impl = getattr(RerankEngine, impl_name)
+        fn = jax.jit(functools.partial(impl, **static_kv),
+                     static_argnames=tuple(static_argnames))
+        _STEP_JITS[key] = fn
+    return fn
+
+
+def clear_step_caches() -> None:
+    """Drop every shared step wrapper's compiled-executable cache (frees the
+    executables' device program space). Long-lived processes that switch
+    between many bank shapes can call this between sessions."""
+    for fn in _STEP_JITS.values():
+        fn.clear_cache()
+    _STEP_JITS.clear()
+
+
 def unique_pairs(cap_idx: np.ndarray, vid_idx: np.ndarray):
     """Dedupe (caption, video) keys. Returns (uniq_cap, uniq_vid, inverse) —
     the same physical pair appears in both rerank directions
@@ -522,50 +562,43 @@ class RerankEngine:
             self.lora = jax.device_put(lora, self._replicated)
 
         ws, wl = vtg_layout.label_window
-        # The step impls are STATICMETHODS and the partials bind only plain
-        # config values — a bound method here would put `self` inside the
-        # jitted callable and cycle it back through the attributes below,
-        # keeping a dead engine's HBM buffers alive until a gc pass (the
-        # round-3 `del engine; gc.collect()` ritual). `del engine` must free.
+        # The step impls are STATICMETHODS and the shared wrappers (step_jit)
+        # bind only plain hashable config values — no engine `self` ever
+        # enters a jitted closure, so `del engine` frees its HBM buffers and
+        # the loaded executables are SHARED across engines of this process
+        # (the old per-engine functools.partial re-shipped every executable
+        # per engine — 0.3-0.5s each over the tunnel).
         _static = dict(config=config, lora_scale=lora_scale, use_pallas=use_pallas)
-        self._vtg_step = jax.jit(
-            functools.partial(
-                RerankEngine._vtg_step_impl,
-                video_start=vtg_layout.video_start,
-                window_start=ws,
-                window_len=wl,
-                **_static,
-            ),
-            static_argnames=("with_prior",),
+        self._vtg_step = step_jit(
+            "_vtg_step_impl",
+            dict(video_start=vtg_layout.video_start, window_start=ws,
+                 window_len=wl, **_static),
+            ("with_prior",),
         )
-        self._vtg_shared_step = jax.jit(
-            functools.partial(
-                RerankEngine._vtg_shared_step_impl,
-                video_start=vtg_layout.video_start,
-                position_offset=vtg_layout.prefix_len,
-                **_static,
-            ),
-            static_argnames=("width", "video_direct"),
+        self._vtg_shared_step = step_jit(
+            "_vtg_shared_step_impl",
+            dict(video_start=vtg_layout.video_start,
+                 position_offset=vtg_layout.prefix_len, **_static),
+            ("width", "video_direct"),
         )
-        self._vtg_prior_step = jax.jit(
-            functools.partial(
-                RerankEngine._vtg_prior_step_impl,
-                position_offset=vtg_layout.prefix_len,
-                **_static,
-            ),
-            static_argnames=("width",),
+        self._vtg_prior_step = step_jit(
+            "_vtg_prior_step_impl",
+            dict(position_offset=vtg_layout.prefix_len, **_static),
+            ("width",),
         )
-        self._vtg_packed_step = jax.jit(
-            functools.partial(
-                RerankEngine._vtg_packed_step_impl,
-                video_start=vtg_layout.video_start, **_static,
-            ),
-            static_argnames=("n_segments", "video_direct"),
+        self._vtg_packed_step = step_jit(
+            "_vtg_packed_step_impl",
+            dict(video_start=vtg_layout.video_start, **_static),
+            ("n_segments", "video_direct"),
         )
-        self._vtg_prior_packed_step = jax.jit(
-            functools.partial(RerankEngine._vtg_prior_packed_step_impl, **_static),
-            static_argnames=("n_segments",),
+        self._vtg_prior_packed_step = step_jit(
+            "_vtg_prior_packed_step_impl", dict(_static), ("n_segments",),
         )
+        # per-engine memo of the CPN prior-prefix KV: compute_prior_kv built
+        # a FRESH jax.jit per call (one per eval pass), re-tracing a forward
+        # the engine's (params, lora) fully determine
+        self._prior_kv_cache = None
+        self.last_warmup_s = 0.0
         # packed-suffix schedule: variable-length caption segments share rows.
         # Sizes above 512 matter because a pack never mixes videos and the
         # prefix forward (~341 tokens) is paid PER PACK: at topk=16 the mean
@@ -590,23 +623,19 @@ class RerankEngine:
             sorted({min(16, full_w), min(24, full_w), min(40, full_w), full_w})
         )
         if tvg_layout is not None:
-            self._tvg_step = jax.jit(
-                functools.partial(
-                    RerankEngine._tvg_step_impl,
-                    video_start=tvg_layout.video_start,
-                    gather_start=int(tvg_layout.gather_positions[0]),
-                    **_static,
-                ),
-                static_argnames=("with_prior",),
+            self._tvg_step = step_jit(
+                "_tvg_step_impl",
+                dict(video_start=tvg_layout.video_start,
+                     gather_start=int(tvg_layout.gather_positions[0]),
+                     **_static),
+                ("with_prior",),
             )
-            self._tvg_shared_step = jax.jit(
-                functools.partial(
-                    RerankEngine._tvg_shared_step_impl,
-                    position_offset=tvg_layout.prefix_len,
-                    terminator_ids=tvg_layout.terminator_ids,
-                    **_static,
-                ),
-                static_argnames=("with_prior", "prefix_width"),
+            self._tvg_shared_step = step_jit(
+                "_tvg_shared_step_impl",
+                dict(position_offset=tvg_layout.prefix_len,
+                     terminator_ids=tuple(tvg_layout.terminator_ids),
+                     **_static),
+                ("with_prior", "prefix_width"),
             )
             # TVG prefix width buckets (left-pad trimming): the dominant
             # k-bucket runs at the smallest width covering its captions
@@ -614,13 +643,10 @@ class RerankEngine:
             self.tvg_prefix_buckets = tuple(
                 sorted({w for w in (96, 128, 192) if w < P_full} | {P_full})
             )
-            self._tvg_packed_step = jax.jit(
-                functools.partial(
-                    RerankEngine._tvg_packed_step_impl,
-                    position_offset=tvg_layout.prefix_len,
-                    **_static,
-                ),
-                static_argnames=("cpn",),
+            self._tvg_packed_step = step_jit(
+                "_tvg_packed_step_impl",
+                dict(position_offset=tvg_layout.prefix_len, **_static),
+                ("cpn",),
             )
             # packed-prefix classes (size, max_queries): one compiled variant
             # per class. The (128, 160) class is query-bound — it carries the
@@ -760,6 +786,29 @@ class RerankEngine:
             # snapshot the LoRA identity baked into tvg_embeds (see docstring)
             dev["lora_ref_host"] = self.lora
         return dev
+
+    def video_vocab(self, banks: Optional[Dict[str, Any]], features=None) -> jax.Array:
+        """(V, clips, mm) TVG video vocab (fp32): token-axis mean of the
+        feature bank (reference: base_dataset.py:33-37).
+
+        Computed ON DEVICE from the resident bank when present — the host
+        pooling read the full (V, clips, T, mm) fp32 array on the 1-core
+        host and re-uploaded the result over the same FIFO wire the flow's
+        scoring rides; the device already holds the bank and the mean is
+        one fused reduction. Falls back to host pooling for host-streamed
+        banks (no device copy to reduce)."""
+        feats = banks.get("feats") if banks else None
+        if feats is None:
+            assert features is not None, "no device bank and no host features"
+            from blim_tpu.models.videochat_flash import make_video_vocab
+
+            return self._put_replicated(
+                np.asarray(make_video_vocab(np.asarray(features)), np.float32))
+        return step_jit("_video_vocab_impl", {}, ())(feats)
+
+    @staticmethod
+    def _video_vocab_impl(feats):
+        return feats.astype(jnp.float32).mean(axis=-2)
 
     def _project_tvg_bank(self, features, chunk: int = 32,
                           device_feats: Optional[jax.Array] = None) -> jax.Array:
@@ -912,19 +961,26 @@ class RerankEngine:
 
     @staticmethod
     def _vtg_packed_step_impl(
-        params, lora, banks, prefix_ids, prefix_mask, vid_or_idx,
+        params, lora, feats, prefix_ids, prefix_mask, vid_or_idx,
         pack_ids, pack_seg, pack_pos, pack_labels,
         *, video_start: int, n_segments: int, video_direct: bool = False,
         config, lora_scale, use_pallas,
     ):
         """Packed-suffix VTG scoring: prefix KV once per pack's video, then
         the pack's variable-length caption segments decode in one row.
-        Returns (G, n_segments) per-segment scores."""
+        Returns (G, n_segments) per-segment scores.
+
+        Takes the feature bank array directly (None when the bank streams
+        from host and `vid_or_idx` IS the gathered features): the rest of
+        the caption bank never enters this step, and keeping it out of the
+        jit args keeps the executable's shape key free of the caption count
+        — in streaming mode the executables are (g, size)-keyed only, shared
+        across every bank size the process ever evaluates."""
         if video_direct:
             feat_dtype = params["llm"]["embed_tokens"]["embedding"].dtype
             video = vid_or_idx.astype(feat_dtype)
         else:
-            video = jnp.take(banks["feats"], vid_or_idx, axis=0)
+            video = jnp.take(feats, vid_or_idx, axis=0)
         g = pack_ids.shape[0]
         prefix = jnp.broadcast_to(prefix_ids[None], (g, prefix_ids.shape[0]))
         pmask = jnp.broadcast_to(prefix_mask[None], prefix.shape)
@@ -1375,20 +1431,34 @@ class RerankEngine:
         return jnp.asarray(ids), jnp.asarray(mask)
 
     def compute_prior_kv(self, layout: VTGLayout):
-        """(prior prefix KV, prior prefix mask) at exact sizes."""
+        """(prior prefix KV, prior prefix mask) at exact sizes.
+
+        Memoized per engine: the result is fully determined by the engine's
+        (params, lora, layout); the pre-memo version built a fresh jax.jit
+        per call — one re-trace + executable reload per eval pass."""
+        if self._prior_kv_cache is not None:
+            return self._prior_kv_cache
         ids, pos = layout.prior_prefix()
         mask = np.ones(len(ids), np.int32)
-        kv = jax.jit(
-            functools.partial(
-                vcf.vtg_text_prefix_kv, config=self.config,
-                lora=self.lora, lora_scale=self.lora_scale, use_pallas=self.use_pallas,
-            )
+        kv = step_jit(
+            "_text_prefix_kv_impl",
+            dict(config=self.config, lora_scale=self.lora_scale,
+                 use_pallas=self.use_pallas),
+            (),
         )(
-            self.params, prefix_ids=jnp.asarray(ids)[None],
-            position_ids=jnp.asarray(pos)[None],
-            prefix_mask=jnp.asarray(mask)[None],
+            self.params, self.lora, jnp.asarray(ids)[None],
+            jnp.asarray(pos)[None], jnp.asarray(mask)[None],
         )
-        return kv, jnp.asarray(mask)[None]
+        self._prior_kv_cache = (kv, jnp.asarray(mask)[None])
+        return self._prior_kv_cache
+
+    @staticmethod
+    def _text_prefix_kv_impl(params, lora, prefix_ids, position_ids, prefix_mask,
+                             *, config, lora_scale, use_pallas):
+        return vcf.vtg_text_prefix_kv(
+            params, config, prefix_ids, position_ids, prefix_mask,
+            lora=lora, lora_scale=lora_scale, use_pallas=use_pallas,
+        )
 
     def reset_flops(self) -> None:
         self.flops = 0.0
@@ -1405,7 +1475,7 @@ class RerankEngine:
         Idempotent; a closed engine raises on use."""
         for name in list(self.__dict__):
             if name.startswith("_vtg") or name.startswith("_tvg") or name in (
-                "params", "lora", "_reshard"):
+                "params", "lora", "_reshard", "_prior_kv_cache"):
                 self.__dict__.pop(name, None)
         self._closed = True
 
@@ -1720,7 +1790,7 @@ class RerankEngine:
         gs4 = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
         scores = np.zeros(len(cap_idx), np.float32)
         stream = "feats" not in banks
-        dev_banks = self._dev_banks(banks)
+        feats = banks.get("feats")
         pending = []
 
         def consume(mapping, out):
@@ -1747,7 +1817,7 @@ class RerankEngine:
                 self.flops += flops_lib.prefix_forward_flops(llm, len(sl), P_len)
                 self.flops += flops_lib.packed_suffix_forward_flops(llm, len(sl), size, P_len)
                 return self._vtg_packed_step(
-                    self.params, self.lora, dev_banks, prefix_ids, prefix_mask,
+                    self.params, self.lora, feats, prefix_ids, prefix_mask,
                     vi, ids, segs, poss, labs,
                     n_segments=size // 4, video_direct=stream,
                 )
@@ -1907,6 +1977,7 @@ class RerankEngine:
         video_vocab: Optional[jax.Array] = None,
         with_prior: bool = True,
         verbose: bool = False,
+        workers: int = 8,
     ) -> int:
         """Dispatch one dummy (all-padding) step per reachable packed-step
         executable so scoring never pays a first-call executable load
@@ -1926,7 +1997,16 @@ class RerankEngine:
         is exhaustive (packed_combo_sets), so after this pass ANY evaluation
         against banks of these shapes runs fully warm, regardless of its
         caption lengths or pair list.
+
+        `workers` threads touch combos concurrently: a first call's 0.3-0.5s
+        is mostly tunnel round-trip latency, not wire bytes, so pipelining
+        the loads across threads collapses the wall time (the compiled steps
+        themselves are all-padding and execute in ~ms). Loaded executables
+        live in the process-wide step_jit caches, so a SECOND engine with
+        the same config/bank shapes warms for free. Records wall seconds in
+        `self.last_warmup_s`.
         """
+        t_warm0 = _time.perf_counter()
         combos = self.packed_combo_sets(
             vtg=banks is not None,
             tvg=tvg_banks is not None and video_vocab is not None,
@@ -1936,63 +2016,97 @@ class RerankEngine:
         gs4 = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
         from blim_tpu.core.constants import IGNORE_INDEX
 
-        def pack_rows(g, size):
+        def pack_rows(g, size, labels=True):
             ids = jax.device_put(np.zeros((g, size), np.int32), gs2)
             seg = jax.device_put(np.full((g, size), -1, np.int32), gs2)
             pos = jax.device_put(np.zeros((g, size), np.int32), gs2)
+            if not labels:
+                # TVG steps take no labels row — uploading one anyway was a
+                # dead g*size int32 transfer on the same serial wire the
+                # warmup exists to protect (r4 advice)
+                return ids, seg, pos, None
             lab = jax.device_put(np.full((g, size), IGNORE_INDEX, np.int32), gs2)
             return ids, seg, pos, lab
 
-        last = None
-        count = 0
+        thunks = []
         if banks is not None:
             self.flush_feats(banks)
             prefix_ids, prefix_mask = self._vtg_prefix_arrays()
             stream = "feats" not in banks
-            dev_banks = self._dev_banks(banks)
-            for size, g in sorted(combos["vtg"]):
+            feats = banks.get("feats")
+            # streamed mode: ship ONE zero-video batch per distinct g up
+            # front (the step only needs the shape; per-combo host gathers
+            # of g real videos were ~2-4MB of wire each, ~160MB per warmup)
+            vi_by_g = {}
+            if stream:
+                vshape = banks["feats_host"].shape[1:]
+                for _size, g in combos["vtg"]:
+                    if g not in vi_by_g:
+                        vi_by_g[g] = jax.device_put(
+                            np.zeros((g, *vshape), banks["feats_host"].dtype),
+                            gs4)
+
+            def touch_vtg(size, g):
                 ids, seg, pos, lab = pack_rows(g, size)
                 if stream:
-                    vi = jax.device_put(
-                        banks["feats_host"][np.zeros(g, np.int64)], gs4)
+                    vi = vi_by_g[g]
                 else:
                     vi = jax.device_put(jnp.zeros((g,), jnp.int32), gs1)
-                last = self._vtg_packed_step(
-                    self.params, self.lora, dev_banks, prefix_ids, prefix_mask,
+                return self._vtg_packed_step(
+                    self.params, self.lora, feats, prefix_ids, prefix_mask,
                     vi, ids, seg, pos, lab,
                     n_segments=size // 4, video_direct=stream)
-                count += 1
+
+            for size, g in sorted(combos["vtg"]):
+                thunks.append(functools.partial(touch_vtg, size, g))
             if combos["vtg_prior"]:
                 prior_kv, prior_mask = self.compute_prior_kv(self.vtg_layout)
-                for size, g in sorted(combos["vtg_prior"]):
+
+                def touch_prior(size, g):
                     ids, seg, pos, lab = pack_rows(g, size)
-                    last = self._vtg_prior_packed_step(
+                    return self._vtg_prior_packed_step(
                         self.params, self.lora, prior_kv, prior_mask,
                         ids, seg, pos, lab, n_segments=size // 4)
-                    count += 1
+
+                for size, g in sorted(combos["vtg_prior"]):
+                    thunks.append(functools.partial(touch_prior, size, g))
         if tvg_banks is not None and video_vocab is not None:
             first_ids = tvg_banks["first_ids"]
             tvg_embeds = tvg_banks["tvg_embeds"]
+
+            def touch_tvg(size, qn, g, cpn):
+                ids, seg, pos, _ = pack_rows(g, size, labels=False)
+                q_seg = jax.device_put(np.full((g, qn), -1, np.int32), gs2)
+                q_cap = jax.device_put(np.zeros((g, qn), np.int32), gs2)
+                q_vid = jax.device_put(np.zeros((g, qn), np.int32), gs2)
+                return self._tvg_packed_step(
+                    self.params, self.lora, first_ids, tvg_embeds,
+                    video_vocab, ids, seg, pos, q_seg, q_cap, q_vid, cpn=cpn)
+
             for key, cpn in (("tvg", False), ("tvg_prior", True)):
                 if cpn and not with_prior:
                     continue
                 for size, qn, g in sorted(combos[key]):
-                    ids, seg, pos, _ = pack_rows(g, size)
-                    q_seg = jax.device_put(np.full((g, qn), -1, np.int32), gs2)
-                    q_cap = jax.device_put(np.zeros((g, qn), np.int32), gs2)
-                    q_vid = jax.device_put(np.zeros((g, qn), np.int32), gs2)
-                    last = self._tvg_packed_step(
-                        self.params, self.lora, first_ids, tvg_embeds,
-                        video_vocab, ids, seg, pos, q_seg, q_cap, q_vid,
-                        cpn=cpn)
-                    count += 1
-        if last is not None:
-            # executions are FIFO per device: fetching the last output drains
-            # every warm step (block_until_ready is a no-op via the tunnel)
-            np.asarray(jax.tree_util.tree_leaves(last)[-1])
+                    thunks.append(functools.partial(touch_tvg, size, qn, g, cpn))
+        count = len(thunks)
+        if count:
+            if workers > 1 and count > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(min(workers, count)) as pool:
+                    list(pool.map(lambda f: f(), thunks))
+            else:
+                for f in thunks:
+                    f()
+            # executions are FIFO per device: a fresh tiny dispatch queues
+            # after every warm step, so fetching it drains them all
+            # (block_until_ready is a no-op via the tunnel)
+            np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((), jnp.int32)))
+        self.last_warmup_s = _time.perf_counter() - t_warm0
         if verbose:
             sizes = {k: len(v) for k, v in combos.items()}
-            print(f"warmup_packed: {count} executables ({sizes})")
+            print(f"warmup_packed: {count} executables in "
+                  f"{self.last_warmup_s:.1f}s ({sizes})")
         return count
 
     def score_grid_vtg_shared(
