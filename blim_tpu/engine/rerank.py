@@ -616,6 +616,16 @@ class RerankEngine:
         # Only binds when the prefix is tiny (the caption-prior pass and the
         # smallest TVG classes); the big score passes are budget-bound.
         self.g_cap = 8
+        # prior-pass step geometry knobs (scripts/abench_tvg.py --prior-geom
+        # A/Bs them). Defaults match the main pass's budget/cap: the r4
+        # "prior pass at MFU 0.295" turned out to be the per-call prior-KV
+        # re-jit (compute_prior_kv built a fresh jax.jit per eval pass —
+        # one re-trace + executable reload each time), NOT step geometry;
+        # with the KV memoized the pass measures MFU ~0.79 at the 256-query
+        # shape and a 4096:32 geometry is an e2e wash (B/A 1.011,
+        # PERF_NOTES_R5 §3), so the smaller executable set wins.
+        self.prior_pack_tokens = 2200
+        self.prior_g_cap = 8
         # suffix width buckets: one compiled variant per bucket; a group runs
         # at the smallest bucket covering its longest caption
         full_w = vtg_layout.suffix_width
@@ -1887,7 +1897,8 @@ class RerankEngine:
                     ids, segs, poss, labs, n_segments=size // 4,
                 )
 
-            G = max(1, min(self.pack_token_budget // (P_prior + size), self.g_cap)) * self.n_data
+            G = max(1, min(self.prior_pack_tokens // (P_prior + size),
+                           self.prior_g_cap)) * self.n_data
             for sl_real, out in self._run_pack_batches(packs, size, banks, G, run_step):
                 pending.append(([packs[i][1] for i in sl_real], out))
 
@@ -1934,10 +1945,10 @@ class RerankEngine:
         W = self.config.num_clips
         out = {"vtg": set(), "vtg_prior": set(), "tvg": set(), "tvg_prior": set()}
 
-        def vtg_combos(P):
+        def vtg_combos(P, token_budget, g_cap):
             s = set()
             for size in self.pack_sizes:
-                G = max(1, min(self.pack_token_budget // (P + size), self.g_cap)) * self.n_data
+                G = max(1, min(token_budget // (P + size), g_cap)) * self.n_data
                 for g in ladder_batches(G, self.n_data):
                     s.add((size, g))
             return s
@@ -1958,11 +1969,15 @@ class RerankEngine:
             return s
 
         if vtg:
-            out["vtg"] = vtg_combos(len(self.vtg_layout.prefix_token_ids()))
+            out["vtg"] = vtg_combos(len(self.vtg_layout.prefix_token_ids()),
+                                    self.pack_token_budget, self.g_cap)
             if with_prior:
-                # prior prefix length, host-side (no device forward needed)
+                # prior prefix length, host-side (no device forward needed);
+                # the prior pass runs its own step geometry (broadcast
+                # prefix — see prior_pack_tokens in __init__)
                 out["vtg_prior"] = vtg_combos(
-                    len(self.vtg_layout.prior_prefix()[0]))
+                    len(self.vtg_layout.prior_prefix()[0]),
+                    self.prior_pack_tokens, self.prior_g_cap)
         if tvg and self.tvg_layout is not None:
             out["tvg"] = tvg_combos()
             if with_prior:

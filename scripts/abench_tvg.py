@@ -43,6 +43,10 @@ def main():
                          "the engine's 2200)")
     ap.add_argument("--parts", default="vtg,tvg,prior",
                     help="comma list of parts to time")
+    ap.add_argument("--prior-geom", default="",
+                    help="A/B the prior-pass step geometry: 'Atok:Acap,Btok:Bcap' "
+                         "(e.g. '2200:8,4096:32' = r4 geometry vs r5 default); "
+                         "sets (prior_pack_tokens, prior_g_cap) per arm")
     args = ap.parse_args()
 
     import jax
@@ -101,11 +105,20 @@ def main():
         print(f"# pack_token_budget override: {args.budget}")
     def set_knobs(k):
         (engine.pack_sizes, engine.tvg_pack_classes,
-         engine.tvg_q_buckets, engine.tvg_prior_dedup) = k
+         engine.tvg_q_buckets, engine.tvg_prior_dedup,
+         engine.prior_pack_tokens, engine.prior_g_cap) = k
 
     knobs_a = (engine.pack_sizes, engine.tvg_pack_classes,
-               engine.tvg_q_buckets, engine.tvg_prior_dedup)
+               engine.tvg_q_buckets, engine.tvg_prior_dedup,
+               engine.prior_pack_tokens, engine.prior_g_cap)
     knobs_b = knobs_a
+    if args.prior_geom:
+        (atok, acap), (btok, bcap) = (
+            tuple(int(x) for x in arm.split(":"))
+            for arm in args.prior_geom.split(","))
+        knobs_a = knobs_a[:4] + (atok, acap)
+        knobs_b = knobs_b[:4] + (btok, bcap)
+        print(f"# prior geometry A=({atok},{acap}) B=({btok},{bcap})")
     if args.classes:
         cls = tuple(
             tuple(int(x) for x in c.split(":")) for c in args.classes.split(",")

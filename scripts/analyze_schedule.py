@@ -91,7 +91,7 @@ class PassReport:
 
 def analyze_vtg_packed(cfg, layout, lens, cap_idx, vid_idx, pack_sizes,
                        token_budget, name, prior_prefix_len=None, n_data=1,
-                       g_cap=8):
+                       g_cap=8, prior_tokens=2200, prior_g_cap=8):
     """Mirror score_pairs_vtg_packed / compute_vtg_priors_packed accounting.
 
     prior_prefix_len: if set, this is the prior pass (one shared text prefix,
@@ -127,8 +127,12 @@ def analyze_vtg_packed(cfg, layout, lens, cap_idx, vid_idx, pack_sizes,
         m = len(packs)
         total_packs += m
         # engine-identical G: budget-derived per-chip batch scaled by the
-        # mesh's data rows (rerank.py `G *= self.n_data`)
-        G = max(1, min(token_budget // (P_len + size), g_cap)) * n_data
+        # mesh's data rows (rerank.py `G *= self.n_data`); the prior pass
+        # runs its own geometry (broadcast prefix, rerank prior_pack_tokens)
+        if is_prior:
+            G = max(1, min(prior_tokens // (P_len + size), prior_g_cap)) * n_data
+        else:
+            G = max(1, min(token_budget // (P_len + size), g_cap)) * n_data
         m_pad = sum(batch_plan(m, G, n_data))
         n_batch_pad = m_pad - m
         # dispatched, engine-identically:
@@ -269,7 +273,8 @@ def build_workload(args, cfg, vtg_l, tvg_l, m, finetuned):
 
 
 def flow_totals(cfg, vtg_l, tvg_l, wl, finetuned, pack_sizes, tvg_classes,
-                token_budget, label="", q_buckets=None, n_data=1, g_cap=8):
+                token_budget, label="", q_buckets=None, n_data=1, g_cap=8,
+                prior_tokens=2200, prior_g_cap=8):
     vtg_lens, tvg_lens, u_cap, u_vid = wl
     m = None
     reports = [
@@ -279,7 +284,8 @@ def flow_totals(cfg, vtg_l, tvg_l, wl, finetuned, pack_sizes, tvg_classes,
         analyze_vtg_packed(cfg, vtg_l, vtg_lens, None, None, pack_sizes,
                            token_budget, f"{label} VTG prior (packed)",
                            prior_prefix_len=len(vtg_l.prior_prefix()[0]),
-                           n_data=n_data, g_cap=g_cap),
+                           n_data=n_data, g_cap=g_cap,
+                           prior_tokens=prior_tokens, prior_g_cap=prior_g_cap),
     ]
     if finetuned:
         m = int(u_vid.max()) + 1
@@ -361,7 +367,9 @@ def sweep(args, cfg, vtg_l, tvg_l):
                                else [("-", ((128, 160), (256, 96), (top_t, 160)))]):
                 disp, use, _ = flow_totals(cfg, vtg_l, tvg_l, wl, finetuned,
                                            grid, cls, token_budget,
-                                           n_data=args.n_data, g_cap=args.g_cap)
+                                           n_data=args.n_data, g_cap=args.g_cap,
+                                           prior_tokens=args.prior_tokens,
+                                           prior_g_cap=args.prior_g_cap)
                 if base is None:
                     base = disp
                 print(f"  sizes[{gname:<28}] classes[{cname:<44}] "
@@ -374,7 +382,9 @@ def sweep(args, cfg, vtg_l, tvg_l):
             disp, use, _ = flow_totals(cfg, vtg_l, tvg_l, wl, finetuned,
                                        cur_sizes, cls, token_budget,
                                        q_buckets=qb, n_data=args.n_data,
-                                       g_cap=args.g_cap)
+                                       g_cap=args.g_cap,
+                                       prior_tokens=args.prior_tokens,
+                                       prior_g_cap=args.prior_g_cap)
             print(f"  sizes[{'CUR step64':<28}] qbuckets[{qname:<43}] "
                   f"disp {disp/1e12:8.1f} TF  frac {use/disp:.3f}  "
                   f"vs cur {disp/base:6.3f}")
@@ -391,6 +401,10 @@ def main():
                     help="engine packs-per-step cap (RerankEngine.g_cap); keep "
                          "in sync so the analyzer's dispatch model matches an "
                          "engine tuned to a different cap")
+    ap.add_argument("--prior-tokens", type=int, default=2200,
+                    help="prior-pass tokens per step (RerankEngine.prior_pack_tokens)")
+    ap.add_argument("--prior-g-cap", type=int, default=8,
+                    help="prior-pass packs-per-step cap (RerankEngine.prior_g_cap)")
     ap.add_argument("--n-data", type=int, default=1,
                     help="mesh data-axis size (the engine scales step batches "
                          "G by n_data and ladders in n_data-row units); 1 = "
@@ -432,7 +446,9 @@ def main():
         disp, use, _ = flow_totals(cfg, vtg_l, tvg_l, wl, finetuned,
                                    pack_sizes, tvg_classes, token_budget, label,
                                    q_buckets=q_buckets, n_data=args.n_data,
-                                   g_cap=args.g_cap)
+                                   g_cap=args.g_cap,
+                                   prior_tokens=args.prior_tokens,
+                                   prior_g_cap=args.prior_g_cap)
         print(f"\n  {label} TOTAL: dispatched {disp/1e12:.1f} TF, useful "
               f"{use/1e12:.1f} TF, fraction {use/disp:.3f}")
 
