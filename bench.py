@@ -419,6 +419,11 @@ def main():
     ap.add_argument("--interleave-rounds", type=int, default=1)
     ap.add_argument("--skip-aux-lines", action="store_true",
                     help="suppress the featurizer and train-step JSON lines")
+    ap.add_argument("--aux-only", action="store_true",
+                    help="internal: run ONLY the featurizer + e2e-extract "
+                         "section and exit (the parent bench spawns this in "
+                         "a subprocess with a timeout so an environment "
+                         "wedge can't eat the headline lines)")
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("BLIM_BENCH_BUDGET_S", 860)),
                     help="wall-clock budget (s). The four headline metric "
@@ -433,6 +438,11 @@ def main():
 
     def remaining() -> float:
         return args.budget - (time.monotonic() - t_bench0)
+
+    def mark(label: str) -> None:
+        # section timestamps: the driver kills at an unknown wall budget, so
+        # the stderr trail must show where the seconds went (BENCH_r04 rc=124)
+        print(f"# t={time.monotonic() - t_bench0:.0f}s {label}", file=sys.stderr)
 
     if args.tiny:
         import jax
@@ -477,13 +487,25 @@ def main():
     n_chips = len(jax.devices())
     peak = peak_flops_per_chip(jax.devices()[0])
 
-    # featurizer line FIRST: the ViT params (~0.6GB bf16) don't fit next to
-    # a resident 7B on one v5e
-    if not args.skip_aux_lines:
+    if args.aux_only:
+        # child mode (see the aux-subprocess block below): ONLY the
+        # featurizer + e2e-extract lines, in a process of their own — a
+        # tunnel wedge here is killed by the parent's timeout instead of
+        # eating the headline rerank/train lines (2026-08-20: a device->host
+        # stall wedged bench_featurizer >13min twice in a row)
+        mark("featurizer section start (aux child)")
         bench_featurizer(args, cfg, dtype, n_chips, peak)
+        mark("featurizer+extract sections done (aux child)")
+        return
 
-    params = jax.jit(lambda k: vcf.init_params(cfg, k, dtype))(jax.random.key(args.seed))
-    jax.block_until_ready(params)
+    def init_7b():
+        p = jax.jit(lambda k: vcf.init_params(cfg, k, dtype))(
+            jax.random.key(args.seed))
+        jax.block_until_ready(p)
+        return p
+
+    params = init_7b()
+    mark("7B params initialized")
 
     def make_inputs(m, trial=0):
         # fresh data per (size, trial): result-cache guard, see run_flow
@@ -567,7 +589,10 @@ def main():
             v2t_iv2=wrng.standard_normal((m, m)).astype(np.float32) + 0.01,
         )
 
+    warm_workers = int(os.environ.get("BLIM_WARM_WORKERS", "8"))
+
     def measure(finetuned, m, trials):
+        mark(f"building {'finetuned' if finetuned else 'zero-shot'} engine (m={m})")
         engine = build_engine(finetuned, m)
         # warm at the trial's EXACT item count: the packed steps take whole
         # bank arrays (feats (V,...), first_ids/tvg_embeds (n_caps,...)) as
@@ -583,7 +608,8 @@ def main():
         n_exec = warmup_with_retry(lambda: warm_session(
             engine, make_warm_inputs(m), tok, dataset,
             has_tvg=finetuned, cpn=not args.no_cpn,
-            naive_batches=1 if args.naive else 0, packed=not args.naive))
+            naive_batches=1 if args.naive else 0, packed=not args.naive,
+            workers=warm_workers))
         warm_total_s = time.perf_counter() - t_w0
         warmup_s = engine.last_warmup_s
         print(f"# warm: {n_exec} packed executables in {warmup_s:.1f}s "
@@ -638,7 +664,10 @@ def main():
         # 32 queries) just to compile 2-4 step shapes
         warmup_with_retry(lambda: warm_session(
             engine, make_warm_inputs(mi, salt=4211), tok, dataset,
-            has_tvg=finetuned, cpn=not args.no_cpn, naive_batches=1))
+            has_tvg=finetuned, cpn=not args.no_cpn, naive_batches=1,
+            workers=warm_workers))
+        mark(f"interleave warm done (finetuned={finetuned}, "
+             f"warmup {engine.last_warmup_s:.1f}s)")
         t_shared = t_naive = 0.0
         for r in range(rounds):
             t_shared += one(True, 2 + 2 * r)
@@ -705,7 +734,47 @@ def main():
               f"budget left {remaining():.0f}s", file=sys.stderr)
 
     if not args.skip_aux_lines:
+        mark("train section start")
         bench_train_step(args, cfg, params, tok, n_chips, peak)
+        mark("train section done")
+        if args.tiny:  # CPU smoke: inline, no subprocess machinery
+            bench_featurizer(args, cfg, dtype, n_chips, peak)
+
+    # ---- aux lines (featurizer + e2e extract) AFTER the headline rerank +
+    # train lines, in a SUBPROCESS with a wall timeout: the primary metrics
+    # can no longer be eaten by either the driver's external kill
+    # (BENCH_r04 rc=124) or an environment wedge inside the aux section
+    # (2026-08-20: a wedged device->host transfer froze bench_featurizer
+    # >13min twice; the whole-process kill was the only recovery). The ViT
+    # (~0.6GB) doesn't fit next to a resident 7B on one v5e, so the parent
+    # drops its params and re-inits them (on-device, deterministic same key)
+    # once the child exits.
+    if not args.skip_aux_lines and not args.tiny:
+        aux_timeout = min(540.0, remaining() - 120.0)
+        if aux_timeout < 180.0:
+            print(f"# skipping featurizer/extract aux child: "
+                  f"{remaining():.0f}s left", file=sys.stderr)
+        else:
+            import gc
+            import subprocess
+
+            params = None  # free the 7B's HBM for the child's ViT
+            gc.collect()
+            _drain_device()
+            mark(f"aux child start (timeout {aux_timeout:.0f}s)")
+            try:
+                # stdout/stderr inherited: the child's JSON lines land on OUR
+                # stdout in order (the parent prints nothing while it runs)
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--aux-only",
+                     "--seed", str(args.seed)],
+                    timeout=aux_timeout, check=False)
+            except subprocess.TimeoutExpired:
+                print("# aux child timed out (tunnel wedge?); featurizer/"
+                      "extract lines skipped this run", file=sys.stderr)
+            mark("aux child done")
+            params = init_7b()
+            mark("7B params re-initialized")
 
     # ---- extras: phase-immune interleaved naive ratios (each rebuilds an
     # engine at the interleave shape and pays one naive round — the largest

@@ -267,10 +267,15 @@ def make_featurizer(vit_params, config, use_pallas=None, device_preprocess=False
 
     vcfg = config.vision
     pos_video, _ = umt_vit.build_pos_tables(vcfg)
-    pos = jnp.asarray(pos_video, jnp.float32)
+    # trace-time constants stay HOST-side (numpy): a jnp.asarray here places
+    # them on the device, and jit lowering then FETCHES them back over the
+    # device->host tunnel (~25MB/s, and subject to multi-minute stalls) just
+    # to embed them as MLIR constants. numpy constants embed with zero wire
+    # traffic (2026-08-20: the pos-table fetch wedged bench_featurizer >13min).
+    pos = np.asarray(pos_video, np.float32)
     dtype = jax.tree_util.tree_leaves(vit_params)[0].dtype
-    mean = jnp.asarray(umt_vit.IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(umt_vit.IMAGENET_STD, jnp.float32)
+    mean = np.asarray(umt_vit.IMAGENET_MEAN, np.float32)
+    std = np.asarray(umt_vit.IMAGENET_STD, np.float32)
 
     @jax.jit
     def featurize(params, pixels):
@@ -284,8 +289,10 @@ def make_featurizer(vit_params, config, use_pallas=None, device_preprocess=False
                 # image domain between passes — matches the host
                 # UMTImageProcessor.resize_frames to ±1 grey level
                 # (pil_resize_matrix docstring).
-                mh = jnp.asarray(umt_vit.pil_resize_matrix(h_in, tgt), jnp.float32)
-                mw = jnp.asarray(umt_vit.pil_resize_matrix(w_in, tgt), jnp.float32)
+                # numpy (not jnp): see the constants note above — device-
+                # placed trace constants cost a device->host fetch at lowering
+                mh = np.asarray(umt_vit.pil_resize_matrix(h_in, tgt), np.float32)
+                mw = np.asarray(umt_vit.pil_resize_matrix(w_in, tgt), np.float32)
                 hp = jax.lax.Precision.HIGHEST
                 x = jnp.einsum("ow,bcfhwx->bcfhox", mw, x, precision=hp)
                 x = jnp.clip(jnp.rint(x), 0.0, 255.0)
