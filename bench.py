@@ -784,24 +784,37 @@ def main():
     if args.interleave_queries > 0 and not args.naive:
         mi = min(args.interleave_queries, 8) if args.tiny else args.interleave_queries
         ri = 1 if args.tiny else args.interleave_rounds
-        # conservative wall estimates (s): warm session + naive rounds
-        need_zs = 0 if args.tiny else 70 + (70 * mi / 32) * ri
-        need_ft = 0 if args.tiny else 80 + (130 * mi / 32) * ri
-        if remaining() > need_zs + 40:
-            ratio = interleaved_naive_ratio(primary_finetuned, mi, ri)
+
+        def fit_mi(m, per32):
+            # conservative wall estimate (s): warm session + naive rounds.
+            # Budget-adaptive: halve the query count (ratio stays valid —
+            # small shapes only UNDERSTATE the speedup, PERF_NOTES_R5 §1)
+            # rather than skip, down to 8 queries.
+            if args.tiny:
+                return m
+            while m >= 8:
+                if remaining() > 70 + (per32 * m / 32) * ri + 40:
+                    return m
+                m //= 2
+            return 0
+
+        mz = fit_mi(mi, 70)
+        if mz:
+            ratio = interleaved_naive_ratio(primary_finetuned, mz, ri)
             result["speedup_vs_naive_interleaved"] = round(ratio, 2)
-            result["interleave_queries"] = mi
+            result["interleave_queries"] = mz
         else:
-            print(f"# skipping zero-shot interleave: {remaining():.0f}s "
-                  f"left < {need_zs + 40:.0f}s needed", file=sys.stderr)
+            print(f"# skipping zero-shot interleave: {remaining():.0f}s left",
+                  file=sys.stderr)
         if line2 is not None:
-            if remaining() > need_ft + 40:
-                ratio2 = interleaved_naive_ratio(True, mi, ri)
+            mf = fit_mi(mi, 140)
+            if mf:
+                ratio2 = interleaved_naive_ratio(True, mf, ri)
                 line2["speedup_vs_naive_interleaved"] = round(ratio2, 2)
-                line2["interleave_queries"] = mi
+                line2["interleave_queries"] = mf
             else:
                 print(f"# skipping finetuned interleave: {remaining():.0f}s "
-                      f"left < {need_ft + 40:.0f}s needed", file=sys.stderr)
+                      f"left", file=sys.stderr)
 
     # final re-emission: enriched lines, primary LAST (the driver records the
     # last JSON line as the round's parsed headline)
