@@ -653,10 +653,13 @@ class RerankEngine:
             self.tvg_prefix_buckets = tuple(
                 sorted({w for w in (96, 128, 192) if w < P_full} | {P_full})
             )
+            # cpn is a TRACED argument (one mask column), not a static: the
+            # likelihood and prior passes share one executable per combo,
+            # halving the TVG warmup's trace count (see score_tvg_packed)
             self._tvg_packed_step = step_jit(
                 "_tvg_packed_step_impl",
                 dict(position_offset=tvg_layout.prefix_len, **_static),
-                ("cpn",),
+                (),
             )
             # packed-prefix classes (size, max_queries): one compiled variant
             # per class. The (128, 160) class is query-bound — it carries the
@@ -1980,9 +1983,10 @@ class RerankEngine:
                     self.prior_pack_tokens, self.prior_g_cap)
         if tvg and self.tvg_layout is not None:
             out["tvg"] = tvg_combos()
-            if with_prior:
-                # same shape set; cpn is the only static split
-                out["tvg_prior"] = set(out["tvg"])
+            # tvg_prior stays empty: cpn is a TRACED argument of the packed
+            # TVG step, so the likelihood executables already cover the prior
+            # pass (same (size, qn, g) grid; the prior's head-only packs hit
+            # the same classes). The key is kept for warmup/coverage-test API.
         return out
 
     def warmup_packed(

@@ -691,12 +691,18 @@ def score_tvg_packed(
     video_vocab: jax.Array,       # (V, clips, mm)
     position_offset: int,         # global position of suffix token 0 (= P_full)
     *,
-    cpn: bool = False,
+    cpn=False,                    # bool or traced scalar; see note below
     lora: Optional[Params] = None,
     lora_scale: float = 0.0,
 ) -> jax.Array:
     """Packed-TVG likelihood/prior -> (G, Q): a flat query list per pack, each
     query attending to its own segment of the packed prefix.
+
+    `cpn` (mask the query's last text token, the CPN prior semantics) is a
+    TRACED value, not a Python static: it only flips one mask column, so
+    keeping it dynamic lets the likelihood and prior passes share ONE
+    compiled executable per (size, qn, g) combo — halving the TVG warmup's
+    trace/lowering work (~1s per combo on the 1-core host, GIL-serial).
 
     Two deliberate reductions vs `score_tvg_shared` (numerically identical —
     causality makes the dropped tokens unreadable):
@@ -721,8 +727,10 @@ def score_tvg_packed(
     w = clips
     valid = (q_seg >= 0).astype(jnp.int32)
     suffix_mask = jnp.broadcast_to(valid[:, :, None], (g, qn, w))
-    if cpn:
-        suffix_mask = suffix_mask.at[:, :, 0].set(0)  # last text token masked in the prior
+    # last text token masked in the prior pass (cpn=1); arithmetic, not `if`,
+    # so a traced cpn works and both passes hit the same executable
+    keep_head = 1 - jnp.asarray(cpn, jnp.int32)
+    suffix_mask = suffix_mask.at[:, :, 0].multiply(keep_head)
     # per-query prefix visibility: only the query's own segment of the pack
     prefix_mask = (pack_seg[:, None, :] == q_seg[:, :, None]) & (q_seg >= 0)[:, :, None]
 
