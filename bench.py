@@ -604,6 +604,9 @@ def main():
         # (exhaustive combo enumeration + a real same-shape upload) WITHOUT
         # the full warm evaluation's redundant O(N^2) scoring sweep, which
         # cost 80-160s at 1000 queries in the r4 bench.
+        from blim_tpu.engine import aot_cache
+
+        aot0 = aot_cache.stats()
         t_w0 = time.perf_counter()
         n_exec = warmup_with_retry(lambda: warm_session(
             engine, make_warm_inputs(m), tok, dataset,
@@ -612,8 +615,12 @@ def main():
             workers=warm_workers))
         warm_total_s = time.perf_counter() - t_w0
         warmup_s = engine.last_warmup_s
+        aot1 = aot_cache.stats()
+        aot = {k: aot1[k] - aot0[k] for k in aot1}
         print(f"# warm: {n_exec} packed executables in {warmup_s:.1f}s "
-              f"(session warm total {warm_total_s:.1f}s)", file=sys.stderr)
+              f"(session warm total {warm_total_s:.1f}s, AOT trace cache: "
+              f"{aot['loaded']} loaded / {aot['exported']} exported / "
+              f"{aot['native']} fallback)", file=sys.stderr)
         # drop + drain the warmup's banks so their deallocs don't land
         # under trial 0's upload (see run_flow's trial-boundary barrier)
         import gc
@@ -638,7 +645,7 @@ def main():
         engine.close()
         del engine
         return (qps, mfu, flops, elapsed, useful_mfu, useful_frac,
-                warmup_s, warm_total_s)
+                warmup_s, warm_total_s, aot)
 
     def interleaved_naive_ratio(finetuned, mi, rounds):
         """Phase-immune speedup over the reference-style flow: alternate
@@ -680,7 +687,7 @@ def main():
 
     def flow_line(finetuned, m, meas, trials):
         (qps, mfu, flops, elapsed, useful_mfu, useful_frac,
-         warmup_s, warm_total_s) = meas
+         warmup_s, warm_total_s, aot) = meas
         mode = "finetuned 6-matrix" if finetuned else "full zero-shot"
         model = "7B+LoRA" if finetuned else "7B"
         line = {
@@ -698,6 +705,11 @@ def main():
             "timing": f"best_of_{trials}_fresh_input_trials",
             "warmup_s": round(warmup_s, 1),
             "warm_total_s": round(warm_total_s, 1),
+            # disk AOT trace cache (engine/aot_cache.py): combos whose
+            # trace+lowering was skipped via a jax.export blob vs traced
+            # fresh this process (blobs persist at BLIM_AOT_CACHE_DIR)
+            "aot_loaded": aot["loaded"],
+            "aot_exported": aot["exported"],
         }
         if mfu is not None:
             line["mfu"] = round(mfu, 4)

@@ -408,6 +408,20 @@ def ladder_batches(G: int, n_data: int) -> Tuple[int, ...]:
 
 _STEP_JITS: Dict[tuple, Any] = {}
 
+# Step impls whose per-combo trace+lowering is cached on disk via jax.export
+# (engine/aot_cache.py). These are exactly the warmup-dominating packed steps:
+# the warm pass touches ~60-150 (size, qn, g) combos at ~1.05s of GIL-serial
+# trace each (PERF_NOTES_R5 §2); with blobs present a later process pays
+# ~2ms deserialize + ~20ms wrapper trace + a thread-pipelinable compile-cache
+# load instead. The rectangle/naive steps stay plain jit: they are test
+# baselines with one or two combos each.
+_AOT_IMPLS = frozenset({
+    "_vtg_packed_step_impl",
+    "_vtg_prior_packed_step_impl",
+    "_tvg_packed_step_impl",
+    "_text_prefix_kv_impl",
+})
+
 
 def step_jit(impl_name: str, static_kv: dict, static_argnames: Tuple[str, ...]):
     """Process-wide memoized jit wrapper for a RerankEngine step impl.
@@ -432,6 +446,10 @@ def step_jit(impl_name: str, static_kv: dict, static_argnames: Tuple[str, ...]):
         impl = getattr(RerankEngine, impl_name)
         fn = jax.jit(functools.partial(impl, **static_kv),
                      static_argnames=tuple(static_argnames))
+        if impl_name in _AOT_IMPLS:
+            from blim_tpu.engine.aot_cache import AOTStep
+
+            fn = AOTStep(fn, impl_name, static_kv, tuple(static_argnames))
         _STEP_JITS[key] = fn
     return fn
 
