@@ -135,6 +135,28 @@ def test_export_failure_falls_back(tmp_path, monkeypatch, args):
     np.testing.assert_array_equal(out, out2)
 
 
+def test_engine_packed_steps_are_aot_wrapped():
+    """Wiring pin: the warm-dominating packed steps (and the prior-KV step)
+    dispatch through AOTStep; the rectangle/naive baselines stay plain jit.
+    A d%128-style silent unwiring (see the ViT kernel gate incident,
+    CLAUDE.md) must fail a test, not a profile."""
+    from blim_tpu.engine import rerank as rr
+
+    assert rr._AOT_IMPLS == {
+        "_vtg_packed_step_impl", "_vtg_prior_packed_step_impl",
+        "_tvg_packed_step_impl", "_text_prefix_kv_impl"}
+    for impl in rr._AOT_IMPLS:
+        assert isinstance(
+            rr.step_jit(impl, {"config": None, "lora_scale": 0.0,
+                               "use_pallas": False}, ()),
+            AOTStep), impl
+    assert not isinstance(
+        rr.step_jit("_vtg_step_impl",
+                    {"config": None, "lora_scale": 0.0, "use_pallas": False,
+                     "video_start": 0, "window_start": 0, "window_len": 1},
+                    ("with_prior",)), AOTStep)
+
+
 def test_clear_cache_resets(tmp_path, monkeypatch, args):
     params, ids = args
     step = _wrapper(tmp_path, monkeypatch, name="_impl_clear")
